@@ -1,0 +1,308 @@
+"""The `Optic` facade: reference-compatible ergonomics over a functional core.
+
+Mirrors the builder API of the reference's `Optic`
+(`optiland/optic/optic.py:59-818`): `surfaces.add(...)` / `add_surface`,
+`set_aperture`, `fields.set_type/add`, `wavelengths.add`, `paraxial.*`,
+`trace(...)`. Unlike the reference — where these objects ARE the compute
+graph — this class is a thin host-side description; `build()` compiles it to
+a `(SystemStatic, SystemParams)` pair, and every query dispatches to jitted
+pure functions keyed on the static spec. Mutating the prescription just
+marks the description dirty and rebuilds the params pytree; jit re-use is
+automatic while the structure is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from optiland_tpu.core import distributions as dist
+from optiland_tpu.materials.catalog import resolve_material
+from optiland_tpu.system import paraxial as px
+from optiland_tpu.system.spec import SurfaceSpec, build_system
+from optiland_tpu.trace import tracer as _tracer
+
+
+@lru_cache(maxsize=256)
+def _jit_trace(static):
+    def fn(params, Hx, Hy, Px, Py, wavelength, apply_vignetting):
+        return _tracer.trace_system(static, params, Hx, Hy, Px, Py, wavelength,
+                                    apply_vignetting=apply_vignetting)
+
+    return jax.jit(fn, static_argnames=("apply_vignetting",))
+
+
+class _SurfaceCollection:
+    """Builder for the surface list (reference `SurfaceGroup.add`)."""
+
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+        self._specs: list[SurfaceSpec] = []
+
+    def __len__(self):
+        return len(self._specs)
+
+    def __getitem__(self, i):
+        return self._specs[i]
+
+    @property
+    def specs(self) -> list[SurfaceSpec]:
+        return self._specs
+
+    def add(
+        self,
+        index: int | None = None,
+        radius: float = math.inf,
+        thickness: float = 0.0,
+        material="air",
+        conic: float = 0.0,
+        is_stop: bool = False,
+        surface_type: str = "standard",
+        coefficients=(),
+        dx: float = 0.0,
+        dy: float = 0.0,
+        rx: float = 0.0,
+        ry: float = 0.0,
+        rz: float = 0.0,
+        aperture: float | None = None,
+        f: float = 0.0,
+        comment: str = "",
+    ):
+        geometry = "standard"
+        if surface_type in ("even_asphere", "odd_asphere", "polynomial"):
+            geometry = surface_type
+            surface_type = "standard"
+        spec = SurfaceSpec(
+            radius=float(radius),
+            thickness=float(thickness),
+            conic=float(conic),
+            coefficients=tuple(float(c) for c in coefficients),
+            material=resolve_material(material),
+            geometry=geometry,
+            surface_type=surface_type,
+            is_stop=is_stop,
+            semi_aperture=aperture,
+            dx=dx, dy=dy, rx=rx, ry=ry, rz=rz,
+            focal_length=f,
+            comment=comment,
+        )
+        if index is None or index == len(self._specs):
+            self._specs.append(spec)
+        else:
+            self._specs.insert(index, spec)
+        self._optic._dirty()
+        return spec
+
+
+class _FieldGroup:
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+        self.field_type = "angle"
+        self.x: list[float] = []
+        self.y: list[float] = []
+        self.vx: list[float] = []
+        self.vy: list[float] = []
+
+    def set_type(self, field_type: str):
+        self.field_type = field_type
+        self._optic._dirty()
+
+    def add(self, y: float = 0.0, x: float = 0.0, vx: float = 0.0, vy: float = 0.0):
+        self.x.append(float(x))
+        self.y.append(float(y))
+        self.vx.append(float(vx))
+        self.vy.append(float(vy))
+        self._optic._dirty()
+
+    @property
+    def num_fields(self):
+        return len(self.x)
+
+    @property
+    def max_field(self):
+        return max(
+            (math.hypot(xx, yy) for xx, yy in zip(self.x, self.y)), default=0.0
+        )
+
+    def get_field_coords(self):
+        m = self.max_field
+        if m == 0:
+            return [(0.0, 0.0)]
+        return [(xx / m, yy / m) for xx, yy in zip(self.x, self.y)]
+
+
+_UNIT_TO_UM = {"nm": 1e-3, "um": 1.0, "mm": 1e3}
+
+
+class _WavelengthGroup:
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+        self.values_um: list[float] = []
+        self.primary_idx = 0
+
+    def add(self, value: float, is_primary: bool = False, unit: str = "um"):
+        self.values_um.append(float(value) * _UNIT_TO_UM[unit])
+        if is_primary or len(self.values_um) == 1:
+            self.primary_idx = len(self.values_um) - 1
+        self._optic._dirty()
+
+    @property
+    def num_wavelengths(self):
+        return len(self.values_um)
+
+    @property
+    def primary_wavelength(self):
+        return self.values_um[self.primary_idx]
+
+
+class _ParaxialFacade:
+    """`optic.paraxial.f2()`-style accessors over the functional engine."""
+
+    def __init__(self, optic: "Optic"):
+        self._optic = optic
+
+    def _sp(self):
+        return self._optic.build()
+
+    def __getattr__(self, name):
+        fn = getattr(px, name, None)
+        if fn is None:
+            raise AttributeError(name)
+
+        def call(*args, **kw):
+            static, params = self._sp()
+            return fn(static, params, *args, **kw)
+
+        return call
+
+
+class Optic:
+    """A sequential optical system (lens prescription + trace entrypoints)."""
+
+    def __init__(self, name: str | None = None):
+        self.name = name or self.__class__.__name__
+        self.surfaces = _SurfaceCollection(self)
+        self.fields = _FieldGroup(self)
+        self.wavelengths = _WavelengthGroup(self)
+        self.aperture_type: str | None = None
+        self.aperture_value: float = 0.0
+        self.polarization = "ignore"
+        self._built = None
+        self.paraxial = _ParaxialFacade(self)
+
+    # -- builder API -------------------------------------------------------
+    def _dirty(self):
+        self._built = None
+
+    def add_surface(self, **kw):
+        return self.surfaces.add(**kw)
+
+    def set_aperture(self, aperture_type: str, value: float):
+        if aperture_type == "float_by_stop_size":
+            aperture_type = "float_by_stop"
+        self.aperture_type = aperture_type
+        self.aperture_value = float(value)
+        self._dirty()
+
+    def set_field_type(self, field_type: str):
+        self.fields.set_type(field_type)
+
+    def add_field(self, y: float = 0.0, x: float = 0.0, vx: float = 0.0,
+                  vy: float = 0.0):
+        self.fields.add(y=y, x=x, vx=vx, vy=vy)
+
+    def add_wavelength(self, value: float, is_primary: bool = False,
+                       unit: str = "um"):
+        self.wavelengths.add(value, is_primary=is_primary, unit=unit)
+
+    @property
+    def primary_wavelength(self):
+        return self.wavelengths.primary_wavelength
+
+    # -- compilation ---------------------------------------------------------
+    def build(self):
+        """Compile to (SystemStatic, SystemParams); cached until mutated."""
+        if self._built is None:
+            if self.aperture_type is None:
+                raise ValueError("No aperture defined; call set_aperture().")
+            if not self.wavelengths.num_wavelengths:
+                raise ValueError("No wavelengths defined.")
+            if not self.fields.num_fields:
+                self.fields.add(y=0.0)
+            self._built = build_system(
+                self.surfaces.specs,
+                field_type=self.fields.field_type,
+                x_fields=self.fields.x,
+                y_fields=self.fields.y,
+                vx=self.fields.vx,
+                vy=self.fields.vy,
+                aperture_type=self.aperture_type,
+                aperture_value=self.aperture_value,
+                wavelengths=self.wavelengths.values_um,
+                primary_wavelength_idx=self.wavelengths.primary_idx,
+            )
+        return self._built
+
+    @property
+    def static(self):
+        return self.build()[0]
+
+    @property
+    def params(self):
+        return self.build()[1]
+
+    def update_params(self, params):
+        """Install an externally-updated parameter pytree (e.g. an optimizer
+        step) without touching the structure."""
+        static, _ = self.build()
+        self._built = (static, params)
+
+    # -- tracing ---------------------------------------------------------
+    def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,
+              distribution="hexapolar"):
+        """Trace a pupil distribution for field point(s); returns TraceHistory
+        (reference `Optic.trace`, `optic/optic.py:715`)."""
+        static, params = self.build()
+        if wavelength is None:
+            wavelength = self.primary_wavelength
+        if isinstance(distribution, str):
+            out = dist.generate(distribution, num_rays)
+            Px, Py = out[:2]
+        else:
+            Px, Py = distribution
+
+        Hx = jnp.atleast_1d(jnp.asarray(Hx, params.cv.dtype))
+        Hy = jnp.atleast_1d(jnp.asarray(Hy, params.cv.dtype))
+        nP = Px.shape[0]
+        Hx_full = jnp.repeat(Hx, nP)
+        Hy_full = jnp.repeat(Hy, nP)
+        Px_full = jnp.tile(Px, Hx.shape[0])
+        Py_full = jnp.tile(Py, Hx.shape[0])
+        return _jit_trace(static)(
+            params, Hx_full, Hy_full, Px_full, Py_full,
+            jnp.asarray(wavelength, params.cv.dtype), True
+        )
+
+    def trace_generic(self, Hx, Hy, Px, Py, wavelength=None):
+        """Trace explicit (field, pupil) coordinate arrays. Vignetting is
+        applied to the pupil coordinates as in the reference's
+        `RealRayTracer.trace_generic` (`raytrace/real_ray_tracer.py:120-154`)."""
+        static, params = self.build()
+        if wavelength is None:
+            wavelength = self.primary_wavelength
+        from optiland_tpu.trace.raygen import vignetting_factors
+
+        Hx = jnp.atleast_1d(jnp.asarray(Hx, params.cv.dtype))
+        Hy = jnp.atleast_1d(jnp.asarray(Hy, params.cv.dtype))
+        Px = jnp.atleast_1d(jnp.asarray(Px, params.cv.dtype))
+        Py = jnp.atleast_1d(jnp.asarray(Py, params.cv.dtype))
+        Hx, Hy, Px, Py = jnp.broadcast_arrays(Hx, Hy, Px, Py)
+        vxf, vyf = vignetting_factors(static, params, Hx, Hy)
+        Px = Px * (1.0 - vxf)
+        Py = Py * (1.0 - vyf)
+        return _jit_trace(static)(
+            params, Hx, Hy, Px, Py, jnp.asarray(wavelength, params.cv.dtype), True
+        )

@@ -1,0 +1,282 @@
+"""System representation: the static/parameter split.
+
+The reference models a lens as a graph of mutable objects (Optic ->
+SurfaceGroup -> Surface -> geometry/materials/..., `optiland/optic/optic.py`,
+`surfaces/surface_group.py`). The TPU-native representation splits that into:
+
+  - `SystemStatic` — hashable structure: geometry codes, material formulas,
+    interaction kinds, stop index, field/aperture types. Changing it triggers
+    a re-jit (like changing a neural net's architecture).
+  - `SystemParams` — a pytree of arrays: curvatures, conics, coefficients,
+    thicknesses, tilts/decenters, material coefficients, field/wavelength
+    tables. Everything here is differentiable and vmap-able: `jax.grad` of a
+    merit function w.r.t. this pytree is the optimizer's gradient, and a
+    leading batch axis over it is Monte-Carlo tolerancing.
+
+`SurfaceSpec` is the host-side per-surface description produced by the
+builder API; `build_system` compiles a list of them into the pair above.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from optiland_tpu import config
+from optiland_tpu.geometry.surfaces import (
+    GEOM_CONIC,
+    GEOM_EVEN_ASPHERE,
+    GEOM_ODD_ASPHERE,
+    GEOM_PLANE,
+    GEOM_POLYNOMIAL_XY,
+)
+from optiland_tpu.materials.catalog import AIR, MaterialSpec, resolve_material
+from optiland_tpu.materials.dispersion import MAX_COEFFS
+
+# interaction kinds (static per surface)
+INT_REFRACT = 0
+INT_REFLECT = 1
+INT_THIN_LENS = 2  # reference "paraxial" surface type
+INT_NONE = 3  # object/image surfaces: record only
+
+_GEOM_BY_TYPE = {
+    "standard": GEOM_CONIC,
+    "plane": GEOM_PLANE,
+    "even_asphere": GEOM_EVEN_ASPHERE,
+    "odd_asphere": GEOM_ODD_ASPHERE,
+    "polynomial": GEOM_POLYNOMIAL_XY,
+}
+
+_INF = float("inf")
+
+
+@dataclass
+class SurfaceSpec:
+    """Host-side description of one surface (builder output)."""
+
+    radius: float = _INF
+    thickness: float = 0.0
+    conic: float = 0.0
+    coefficients: tuple[float, ...] = ()
+    material: MaterialSpec = AIR  # medium *after* this surface
+    geometry: str = "standard"
+    surface_type: str = "standard"  # "standard" | "paraxial" (thin lens)
+    is_stop: bool = False
+    semi_aperture: float | None = None  # physical radial aperture, None = open
+    dx: float = 0.0
+    dy: float = 0.0
+    rx: float = 0.0
+    ry: float = 0.0
+    rz: float = 0.0
+    focal_length: float = 0.0  # thin-lens surfaces only
+    comment: str = ""
+
+
+@dataclass(frozen=True)
+class SystemStatic:
+    """Hashable structural description of the optical system."""
+
+    num_surfaces: int
+    geom_codes: tuple[int, ...]
+    geom_n_coeffs: tuple[int, ...]
+    interactions: tuple[int, ...]
+    mat_formulas: tuple[int, ...]  # material after each surface
+    mat_n_coeffs: tuple[int, ...]
+    has_tilt: tuple[bool, ...]
+    has_decenter: tuple[bool, ...]
+    has_aperture: tuple[bool, ...]
+    stop_index: int
+    object_infinite: bool
+    field_type: str  # "angle" | "object_height"
+    aperture_type: str  # "EPD" | "imageFNO" | "objectNA" | "float_by_stop"
+    num_fields: int
+    num_wavelengths: int
+    primary_wavelength_idx: int
+    newton_iters: int = 16
+
+    @property
+    def surface_indices(self):
+        return range(self.num_surfaces)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SystemParams:
+    """Differentiable system parameters (a pytree of arrays).
+
+    Per-surface arrays have shape (S,) or (S, K); field/wavelength tables are
+    (F,) / (W,). `thickness[k]` is the gap after surface k; vertex positions
+    are recovered in-trace as pos[1] = 0, pos[k+1] = pos[k] + thickness[k]
+    (matching the reference's absolute-CS construction).
+    """
+
+    cv: jax.Array  # curvature 1/R
+    conic: jax.Array
+    coeffs: jax.Array  # (S, MAX_GEOM_COEFFS)
+    thickness: jax.Array
+    tilt: jax.Array  # (S, 3) rx, ry, rz
+    decenter: jax.Array  # (S, 2) dx, dy
+    focal_length: jax.Array  # (S,) thin-lens focal lengths
+    mat_coeffs: jax.Array  # (S, MAX_COEFFS)
+    ap_radius: jax.Array  # (S,) physical semi-aperture (inf = open)
+    aperture_value: jax.Array  # system aperture scalar
+    x_fields: jax.Array  # (F,)
+    y_fields: jax.Array
+    vx: jax.Array  # (F,) vignetting factors
+    vy: jax.Array
+    wavelengths: jax.Array  # (W,) in um
+
+    def positions(self) -> jax.Array:
+        """Vertex z positions (S,), with pos[1] = 0. pos[0] = -thickness[0]
+        (=-inf for an infinite object)."""
+        t = self.thickness
+        pos = jnp.concatenate(
+            [-t[:1], jnp.zeros((1,), t.dtype), jnp.cumsum(t[1:-1])]
+        )
+        return pos
+
+    @property
+    def primary_wavelength(self):
+        # primary index is static; callers slice with it
+        raise AttributeError("use params.wavelengths[static.primary_wavelength_idx]")
+
+    def replace(self, **kw) -> "SystemParams":
+        return replace(self, **kw)
+
+
+MAX_GEOM_COEFFS = 17
+
+
+def build_system(
+    surfaces: list[SurfaceSpec],
+    *,
+    field_type: str,
+    x_fields,
+    y_fields,
+    vx,
+    vy,
+    aperture_type: str,
+    aperture_value: float,
+    wavelengths,
+    primary_wavelength_idx: int,
+    newton_iters: int = 16,
+    dtype=None,
+) -> tuple[SystemStatic, SystemParams]:
+    """Compile builder state into the (static, params) pair."""
+    dtype = dtype or config.get_dtype()
+    S = len(surfaces)
+    if S < 3:
+        raise ValueError("A system needs at least object, one surface, image.")
+
+    geom_codes = []
+    geom_n_coeffs = []
+    interactions = []
+    mat_formulas = []
+    mat_n_coeffs = []
+    has_tilt = []
+    has_decenter = []
+    has_aperture = []
+    stop_index = 0
+
+    cv = np.zeros(S)
+    conic = np.zeros(S)
+    coeffs = np.zeros((S, MAX_GEOM_COEFFS))
+    thickness = np.zeros(S)
+    tilt = np.zeros((S, 3))
+    decenter = np.zeros((S, 2))
+    focal_length = np.zeros(S)
+    mat_coeffs = np.zeros((S, MAX_COEFFS))
+    ap_radius = np.full(S, np.inf)
+
+    # propagate mirror semantics: a "mirror" material keeps the incident medium
+    current_medium = AIR
+    for idx, s in enumerate(surfaces):
+        mat = s.material
+        reflective = mat.mirror
+        if not reflective:
+            current_medium = mat
+
+        geom = _GEOM_BY_TYPE[s.geometry]
+        if geom == GEOM_CONIC and (s.radius in (_INF, -_INF) or s.radius == 0):
+            geom = GEOM_PLANE
+        geom_codes.append(geom)
+        geom_n_coeffs.append(len(s.coefficients))
+
+        if idx == 0 or idx == S - 1:
+            interactions.append(INT_NONE)
+        elif s.surface_type == "paraxial":
+            interactions.append(INT_THIN_LENS)
+        elif reflective:
+            interactions.append(INT_REFLECT)
+        else:
+            interactions.append(INT_REFRACT)
+
+        mat_formulas.append(current_medium.formula)
+        mat_n_coeffs.append(current_medium.n_coeffs)
+        mat_coeffs[idx, : current_medium.n_coeffs] = current_medium.coefficients
+
+        has_tilt.append(bool(s.rx or s.ry or s.rz))
+        has_decenter.append(bool(s.dx or s.dy))
+        has_aperture.append(s.semi_aperture is not None)
+
+        if s.is_stop:
+            stop_index = idx
+
+        r = s.radius
+        cv[idx] = 0.0 if (r in (_INF, -_INF) or r == 0) else 1.0 / r
+        conic[idx] = s.conic
+        nc = min(len(s.coefficients), MAX_GEOM_COEFFS)
+        if nc:
+            coeffs[idx, :nc] = s.coefficients[:nc]
+        thickness[idx] = s.thickness
+        tilt[idx] = (s.rx, s.ry, s.rz)
+        decenter[idx] = (s.dx, s.dy)
+        focal_length[idx] = s.focal_length
+        if s.semi_aperture is not None:
+            ap_radius[idx] = s.semi_aperture
+
+    object_infinite = not np.isfinite(surfaces[0].thickness)
+    if object_infinite:
+        thickness[0] = np.inf
+
+    static = SystemStatic(
+        num_surfaces=S,
+        geom_codes=tuple(geom_codes),
+        geom_n_coeffs=tuple(geom_n_coeffs),
+        interactions=tuple(interactions),
+        mat_formulas=tuple(mat_formulas),
+        mat_n_coeffs=tuple(mat_n_coeffs),
+        has_tilt=tuple(has_tilt),
+        has_decenter=tuple(has_decenter),
+        has_aperture=tuple(has_aperture),
+        stop_index=stop_index,
+        object_infinite=object_infinite,
+        field_type=field_type,
+        aperture_type=aperture_type,
+        num_fields=len(x_fields),
+        num_wavelengths=len(wavelengths),
+        primary_wavelength_idx=primary_wavelength_idx,
+        newton_iters=newton_iters,
+    )
+    params = SystemParams(
+        cv=jnp.asarray(cv, dtype),
+        conic=jnp.asarray(conic, dtype),
+        coeffs=jnp.asarray(coeffs, dtype),
+        thickness=jnp.asarray(thickness, dtype),
+        tilt=jnp.asarray(tilt, dtype),
+        decenter=jnp.asarray(decenter, dtype),
+        focal_length=jnp.asarray(focal_length, dtype),
+        mat_coeffs=jnp.asarray(mat_coeffs, dtype),
+        ap_radius=jnp.asarray(ap_radius, dtype),
+        aperture_value=jnp.asarray(aperture_value, dtype),
+        x_fields=jnp.asarray(np.asarray(x_fields, float), dtype),
+        y_fields=jnp.asarray(np.asarray(y_fields, float), dtype),
+        vx=jnp.asarray(np.asarray(vx, float), dtype),
+        vy=jnp.asarray(np.asarray(vy, float), dtype),
+        wavelengths=jnp.asarray(np.asarray(wavelengths, float), dtype),
+    )
+    return static, params

@@ -1,0 +1,183 @@
+"""The real-ray trace: one fused, differentiable XLA graph.
+
+Replaces the reference's hot path (`SurfaceGroup.trace` ->
+`Surface.trace/_trace_real` -> geometry/interaction calls,
+`optiland/surfaces/surface_group.py:245`, `standard_surface.py:200-274`)
+with a single pure function. The per-surface loop is unrolled at trace time:
+each surface's geometry/interaction/material codes are static, so XLA sees a
+straight-line chain of elementwise ops over the `(num_rays,)` batch — ideal
+for VPU fusion — with zero runtime dispatch. Ray batches shard over a device
+mesh by simply sharding the inputs (see `optiland_tpu.parallel`).
+
+Per-surface step (identical ordering to the reference for output parity):
+  localize -> intersect (closed-form conic / fixed-K Newton) -> propagate ->
+  OPD accumulate -> physical-aperture clip -> interact (refract / reflect /
+  thin lens) -> globalize -> record.
+
+The trace history (stacked per-surface records, shape (S, N)) is the
+first-class output — the analogue of the reference's recorded surface data
+consumed by every analysis (`surface_group.py:108-153`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from optiland_tpu.core import rays as R
+from optiland_tpu.core import transforms as T
+from optiland_tpu.core.rays import Rays
+from optiland_tpu.geometry.surfaces import intersect, surface_normal
+from optiland_tpu.materials.dispersion import material_index
+from optiland_tpu.system.spec import (
+    INT_NONE,
+    INT_REFLECT,
+    INT_THIN_LENS,
+    SystemParams,
+    SystemStatic,
+)
+from optiland_tpu.trace.raygen import generate_rays
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TraceHistory:
+    """Per-surface ray records, shape (S, N) each — the reference's stacked
+    `surface_group.x/y/z/L/M/N/intensity/opd` properties."""
+
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    L: jax.Array
+    M: jax.Array
+    N: jax.Array
+    intensity: jax.Array
+    opd: jax.Array
+
+    @property
+    def num_surfaces(self) -> int:
+        return self.x.shape[0]
+
+    def final_rays(self, wavelength=None) -> Rays:
+        w = jnp.zeros_like(self.x[-1]) if wavelength is None else wavelength
+        return Rays(
+            x=self.x[-1], y=self.y[-1], z=self.z[-1],
+            L=self.L[-1], M=self.M[-1], N=self.N[-1],
+            i=self.intensity[-1], opd=self.opd[-1],
+            w=jnp.broadcast_to(w, self.x[-1].shape),
+        )
+
+
+def _thin_lens_interact(rays: Rays, f, n1, n2) -> Rays:
+    """Ideal thin-lens bending for real rays (reference
+    `interactions/thin_lens_interaction_model.py:24`): ray height is
+    preserved, image-side slope satisfies the ideal lens equation in the
+    paraxial tangent space applied to the real direction components."""
+    # tangent-space slopes
+    ux = rays.L / rays.N
+    uy = rays.M / rays.N
+    ux2 = (n1 * ux - rays.x / f) / n2
+    uy2 = (n1 * uy - rays.y / f) / n2
+    N2 = 1.0 / jnp.sqrt(1.0 + ux2**2 + uy2**2)
+    return rays.replace(L=ux2 * N2, M=uy2 * N2, N=N2)
+
+
+def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> TraceHistory:
+    """Trace a starting bundle through all surfaces; returns the history.
+
+    Row 0 of the history is the starting bundle (the reference records rays
+    at the object surface as they are generated).
+    """
+    S = static.num_surfaces
+    pos = params.positions()
+
+    # refractive index of the medium before surface k = material after k-1
+    def n_of(k, w):
+        return material_index(
+            static.mat_formulas[k], static.mat_n_coeffs[k], params.mat_coeffs[k], w
+        )
+
+    rays = rays0
+    records = [rays0]
+
+    for k in range(1, S):
+        tx = params.decenter[k, 0]
+        ty = params.decenter[k, 1]
+        tz = pos[k]
+        tilted = static.has_tilt[k]
+        decentered = static.has_decenter[k]
+
+        if tilted:
+            rays = T.localize(rays, tx, ty, tz,
+                              params.tilt[k, 0], params.tilt[k, 1], params.tilt[k, 2])
+        elif decentered:
+            rays = rays.replace(x=rays.x - tx, y=rays.y - ty, z=rays.z - tz)
+        else:
+            rays = T.translate_z(rays, tz)
+
+        # intersect + propagate
+        t, valid = intersect(
+            static.geom_codes[k], static.geom_n_coeffs[k],
+            rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
+            params.cv[k], params.conic[k], params.coeffs[k],
+            newton_iters=static.newton_iters,
+        )
+        n_pre = n_of(k - 1, rays.w)
+        rays = R.propagate(rays, t)
+        rays = rays.replace(
+            opd=rays.opd + jnp.abs(t * n_pre),
+            i=jnp.where(valid, rays.i, jnp.zeros_like(rays.i)),
+        )
+
+        # physical aperture (radial) clip — zero intensity, keep tracing
+        if static.has_aperture[k]:
+            r2 = rays.x**2 + rays.y**2
+            rays = R.clip(rays, r2 > params.ap_radius[k] ** 2)
+
+        interaction = static.interactions[k]
+        if interaction == INT_NONE:
+            pass
+        elif interaction == INT_REFLECT:
+            nx, ny, nz = surface_normal(
+                static.geom_codes[k], static.geom_n_coeffs[k],
+                rays.x, rays.y, params.cv[k], params.conic[k], params.coeffs[k],
+            )
+            rays = R.reflect(rays, nx, ny, nz)
+        elif interaction == INT_THIN_LENS:
+            rays = _thin_lens_interact(
+                rays, params.focal_length[k], n_pre, n_of(k, rays.w)
+            )
+        else:
+            nx, ny, nz = surface_normal(
+                static.geom_codes[k], static.geom_n_coeffs[k],
+                rays.x, rays.y, params.cv[k], params.conic[k], params.coeffs[k],
+            )
+            rays = R.refract(rays, nx, ny, nz, n_pre, n_of(k, rays.w))
+
+        if tilted:
+            rays = T.globalize(rays, tx, ty, tz,
+                               params.tilt[k, 0], params.tilt[k, 1], params.tilt[k, 2])
+        elif decentered:
+            rays = rays.replace(x=rays.x + tx, y=rays.y + ty, z=rays.z + tz)
+        else:
+            rays = T.untranslate_z(rays, tz)
+
+        records.append(rays)
+
+    stack = lambda f: jnp.stack([f(r) for r in records])  # noqa: E731
+    return TraceHistory(
+        x=stack(lambda r: r.x), y=stack(lambda r: r.y), z=stack(lambda r: r.z),
+        L=stack(lambda r: r.L), M=stack(lambda r: r.M), N=stack(lambda r: r.N),
+        intensity=stack(lambda r: r.i), opd=stack(lambda r: r.opd),
+    )
+
+
+def trace_system(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
+                 wavelength, apply_vignetting: bool = True) -> TraceHistory:
+    """Generate + aim + trace in one jittable call (the reference's
+    `RealRayTracer.trace` / `trace_generic`, `raytrace/real_ray_tracer.py:58`)."""
+    rays0 = generate_rays(static, params, Hx, Hy, Px, Py, wavelength,
+                          apply_vignetting=apply_vignetting)
+    return trace_rays(static, params, rays0)

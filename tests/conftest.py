@@ -1,0 +1,57 @@
+"""Test configuration.
+
+- Forces JAX onto a virtual 8-device CPU platform (the TPU analogue of the
+  reference's dual-backend fixture, SURVEY.md §4): sharding/multi-chip tests
+  run on a fake mesh, no hardware needed.
+- Makes the mounted reference importable (with a numba stub, since numba is
+  not installed here) for cross-implementation parity tests.
+"""
+
+import os
+import sys
+import types
+
+# Force the CPU platform even though the environment (sitecustomize) has
+# already registered the TPU ("axon") backend and pinned JAX_PLATFORMS=axon:
+# backend *initialization* is lazy, so overriding the config before the first
+# jax.devices() call is sufficient. Tests must run on an 8-device virtual CPU
+# mesh (fast compiles, sharding tests without hardware).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def _install_numba_stub():
+    if "numba" in sys.modules:
+        return
+    stub = types.ModuleType("numba")
+
+    def njit(*args, **kwargs):
+        if args and callable(args[0]):
+            return args[0]
+        return lambda fn: fn
+
+    stub.njit = njit
+    stub.jit = njit
+    stub.prange = range
+    sys.modules["numba"] = stub
+
+
+@pytest.fixture(scope="session")
+def reference():
+    """Import and return the mounted reference optiland package."""
+    _install_numba_stub()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import optiland
+
+    return optiland
