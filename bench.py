@@ -1,0 +1,120 @@
+"""Headline benchmark: real rays/s through a 10-surface asphere, fwd+bwd.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's only published number is "150M+ ray-surfaces/s" on
+an unspecified GPU (`/root/reference/README.md:120`, BASELINE.md) — i.e.
+15M rays/s through this 10-surface system. vs_baseline = ours / theirs on
+that metric. The BASELINE.json north-star target is 5e8 rays/s/chip.
+
+The measured step is the full production path: ray generation (incl.
+paraxial aiming sub-traces), 10-surface trace with 4 even-asphere surfaces
+(fixed-count Newton intersection), merit reduction, AND the backward pass
+w.r.t. every curvature/conic/asphere/thickness parameter.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_bench_system():
+    """10-surface double-Gauss-like system with 4 even-asphere surfaces."""
+    import math
+
+    from optiland_tpu import set_precision
+    from optiland_tpu.system.optic import Optic
+
+    set_precision("float32")
+    lens = Optic("Bench10")
+    inf = math.inf
+    asph = (1e-7, -2e-11, 3e-15)
+    lens.add_surface(index=0, radius=inf, thickness=inf)
+    lens.add_surface(index=1, radius=56.20238, thickness=8.75, material=1.617,
+                     surface_type="even_asphere", coefficients=asph)
+    lens.add_surface(index=2, radius=152.28580, thickness=0.5)
+    lens.add_surface(index=3, radius=37.68262, thickness=12.5, material=1.607)
+    lens.add_surface(index=4, radius=inf, thickness=3.8, material=1.603,
+                     surface_type="even_asphere", coefficients=asph)
+    lens.add_surface(index=5, radius=24.23130, thickness=16.369445)
+    lens.add_surface(index=6, radius=inf, thickness=13.747957, is_stop=True)
+    lens.add_surface(index=7, radius=-28.37731, thickness=3.8, material=1.603,
+                     surface_type="even_asphere", coefficients=asph)
+    lens.add_surface(index=8, radius=inf, thickness=11, material=1.620,
+                     surface_type="even_asphere", coefficients=asph)
+    lens.add_surface(index=9, radius=-37.92546, thickness=0.5)
+    lens.add_surface(index=10, radius=177.41176, thickness=7, material=1.620)
+    lens.add_surface(index=11, radius=-79.41143, thickness=61.487536)
+    lens.add_surface(index=12)
+    lens.set_aperture(aperture_type="imageFNO", value=5)
+    lens.set_field_type("angle")
+    lens.add_field(y=0)
+    lens.add_field(y=14)
+    lens.add_wavelength(value=0.5876, is_primary=True)
+    return lens
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from optiland_tpu.trace.tracer import trace_system
+
+    lens = build_bench_system()
+    static, params = lens.build()
+    # ray-surface count: interior surfaces (object row is a copy, image is a
+    # plane hit) — count the 10 physical surfaces + image = 11; report rays/s
+    # through the whole system and ray-surfaces/s over its 10 elements.
+    n_surf = 10
+
+    N = 2_000_000  # rays per step
+    rng = np.random.default_rng(0)
+    r = np.sqrt(rng.uniform(size=N)).astype(np.float32)
+    th = rng.uniform(0, 2 * np.pi, size=N).astype(np.float32)
+    Px = jnp.asarray(r * np.cos(th))
+    Py = jnp.asarray(r * np.sin(th))
+    Hy = jnp.asarray(rng.uniform(-1, 1, size=N).astype(np.float32))
+    Hx = jnp.zeros_like(Hy)
+    w = jnp.full((N,), 0.5876, jnp.float32)
+
+    def merit(params):
+        hist = trace_system(static, params, Hx, Hy, Px, Py, w)
+        x, y, i = hist.x[-1], hist.y[-1], hist.intensity[-1]
+        wsum = jnp.sum(i) + 1e-6
+        cx = jnp.sum(x * i) / wsum
+        cy = jnp.sum(y * i) / wsum
+        return jnp.sum(((x - cx) ** 2 + (y - cy) ** 2) * i) / wsum
+
+    step = jax.jit(jax.value_and_grad(merit))
+
+    # warmup/compile
+    loss, grads = step(params)
+    loss.block_until_ready()
+    assert np.isfinite(float(loss))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        loss, grads = step(params)
+    loss.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = N / dt
+    baseline_rays_per_s = 150e6 / n_surf  # reference README claim
+    print(
+        json.dumps(
+            {
+                "metric": "real_rays_per_s_fwd_bwd_10surf_asphere",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / baseline_rays_per_s,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

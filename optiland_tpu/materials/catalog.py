@@ -27,12 +27,19 @@ _DATA_PATH = Path(__file__).resolve().parent.parent / "data" / "glasses.json"
 
 @dataclass(frozen=True)
 class MaterialSpec:
-    """Static description of a material (hashable; lives in SystemStatic)."""
+    """Static description of a material (hashable; lives in SystemStatic).
+
+    `k_table` is an optional (wavelengths_um, k_values) pair of tuples — the
+    tabulated extinction coefficient from refractiveindex.info, interpolated
+    at trace time for Beer-Lambert absorption (the reference does the same:
+    `materials/material_file.py:233-248`, `propagation/homogeneous.py:44-53`).
+    """
 
     formula: int
     coefficients: tuple[float, ...]
     name: str = ""
     mirror: bool = False
+    k_table: tuple[tuple[float, ...], tuple[float, ...]] | None = None
 
     @property
     def n_coeffs(self) -> int:
@@ -90,8 +97,15 @@ def resolve_material(spec) -> MaterialSpec:
             f"Material {spec!r} not in bundled catalog "
             f"({len(cat)} glasses). Known names: {catalog_names()[:10]}..."
         ) from None
+    k_table = None
+    if "k" in entry:
+        k_table = (
+            tuple(float(v) for v in entry["k_wavelength"]),
+            tuple(float(v) for v in entry["k"]),
+        )
     return MaterialSpec(
         formula=int(entry["formula"]),
         coefficients=tuple(float(c) for c in entry["coefficients"]),
         name=entry["name"],
+        k_table=k_table,
     )

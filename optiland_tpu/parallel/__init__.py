@@ -1,0 +1,15 @@
+from optiland_tpu.parallel.mesh import (
+    RAY_AXIS,
+    make_mesh,
+    ray_sharding,
+    replicated_sharding,
+    shard_rays,
+)
+
+__all__ = [
+    "RAY_AXIS",
+    "make_mesh",
+    "ray_sharding",
+    "replicated_sharding",
+    "shard_rays",
+]

@@ -86,6 +86,7 @@ class SystemStatic:
     interactions: tuple[int, ...]
     mat_formulas: tuple[int, ...]  # material after each surface
     mat_n_coeffs: tuple[int, ...]
+    has_absorption: tuple[bool, ...]  # medium after surface k absorbs
     has_tilt: tuple[bool, ...]
     has_decenter: tuple[bool, ...]
     has_aperture: tuple[bool, ...]
@@ -122,6 +123,8 @@ class SystemParams:
     decenter: jax.Array  # (S, 2) dx, dy
     focal_length: jax.Array  # (S,) thin-lens focal lengths
     mat_coeffs: jax.Array  # (S, MAX_COEFFS)
+    k_wl: jax.Array  # (S, K) extinction table wavelengths (um)
+    k_val: jax.Array  # (S, K) extinction coefficients
     ap_radius: jax.Array  # (S,) physical semi-aperture (inf = open)
     aperture_value: jax.Array  # system aperture scalar
     x_fields: jax.Array  # (F,)
@@ -177,6 +180,7 @@ def build_system(
     interactions = []
     mat_formulas = []
     mat_n_coeffs = []
+    has_absorption = []
     has_tilt = []
     has_decenter = []
     has_aperture = []
@@ -190,6 +194,13 @@ def build_system(
     decenter = np.zeros((S, 2))
     focal_length = np.zeros(S)
     mat_coeffs = np.zeros((S, MAX_COEFFS))
+    KMAX = max(
+        (len(s.material.k_table[0]) for s in surfaces
+         if s.material.k_table is not None),
+        default=1,
+    )
+    k_wl = np.ones((S, KMAX))
+    k_val = np.zeros((S, KMAX))
     ap_radius = np.full(S, np.inf)
 
     # propagate mirror semantics: a "mirror" material keeps the incident medium
@@ -218,6 +229,15 @@ def build_system(
         mat_formulas.append(current_medium.formula)
         mat_n_coeffs.append(current_medium.n_coeffs)
         mat_coeffs[idx, : current_medium.n_coeffs] = current_medium.coefficients
+        kt = current_medium.k_table
+        has_absorption.append(kt is not None and any(v > 0 for v in kt[1]))
+        if kt is not None:
+            nk = len(kt[0])
+            k_wl[idx, :nk] = kt[0]
+            k_val[idx, :nk] = kt[1]
+            # pad by repeating the last point; interp clamps at the edges
+            k_wl[idx, nk:] = kt[0][-1]
+            k_val[idx, nk:] = kt[1][-1]
 
         has_tilt.append(bool(s.rx or s.ry or s.rz))
         has_decenter.append(bool(s.dx or s.dy))
@@ -250,6 +270,7 @@ def build_system(
         interactions=tuple(interactions),
         mat_formulas=tuple(mat_formulas),
         mat_n_coeffs=tuple(mat_n_coeffs),
+        has_absorption=tuple(has_absorption),
         has_tilt=tuple(has_tilt),
         has_decenter=tuple(has_decenter),
         has_aperture=tuple(has_aperture),
@@ -271,6 +292,8 @@ def build_system(
         decenter=jnp.asarray(decenter, dtype),
         focal_length=jnp.asarray(focal_length, dtype),
         mat_coeffs=jnp.asarray(mat_coeffs, dtype),
+        k_wl=jnp.asarray(k_wl, dtype),
+        k_val=jnp.asarray(k_val, dtype),
         ap_radius=jnp.asarray(ap_radius, dtype),
         aperture_value=jnp.asarray(aperture_value, dtype),
         x_fields=jnp.asarray(np.asarray(x_fields, float), dtype),

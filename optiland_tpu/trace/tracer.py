@@ -126,9 +126,17 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
         )
         n_pre = n_of(k - 1, rays.w)
         rays = R.propagate(rays, t)
+        new_i = jnp.where(valid, rays.i, jnp.zeros_like(rays.i))
+        if static.has_absorption[k - 1]:
+            # Beer-Lambert attenuation through the absorbing medium before
+            # this surface (reference `propagation/homogeneous.py:44-53`);
+            # k(w) interpolated from the material's tabulated extinction
+            kv = jnp.interp(rays.w, params.k_wl[k - 1], params.k_val[k - 1])
+            alpha = 4.0 * jnp.pi * kv / rays.w
+            new_i = new_i * jnp.exp(-alpha * t * 1e3)
         rays = rays.replace(
             opd=rays.opd + jnp.abs(t * n_pre),
-            i=jnp.where(valid, rays.i, jnp.zeros_like(rays.i)),
+            i=new_i,
         )
 
         # physical aperture (radial) clip — zero intensity, keep tracing

@@ -1,0 +1,167 @@
+"""Wavefront computation: OPD relative to a reference sphere at the exit pupil.
+
+Functional re-design of the reference's Wavefront/strategy stack
+(`optiland/wavefront/wavefront.py:26-176`, `strategy.py:155-285`,
+`reference_geometry.py:42-101`). The whole pipeline — chief-ray trace,
+reference-sphere construction, full-bundle trace, OPD normalization, pupil
+back-projection — is one pure jittable function of `(static, params)`, so a
+wavefront map (and anything downstream: Zernike coefficients, FFT PSF, MTF)
+is differentiable w.r.t. every lens parameter.
+
+Strategies:
+  - "chief_ray": reference sphere centered on the chief-ray image hit, radius
+    = distance to the paraxial exit pupil (`strategy.py:155-285`).
+  - "centroid_sphere": sphere centered on the intensity centroid of the spot.
+  - "best_fit": least-squares sphere through the wavefront points.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from optiland_tpu.system import paraxial as px
+from optiland_tpu.system.spec import SystemParams, SystemStatic
+from optiland_tpu.trace.raygen import vignetting_factors
+from optiland_tpu.trace.tracer import trace_system
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class WavefrontData:
+    """Wavefront at the exit pupil for one (field, wavelength).
+
+    Mirrors the reference's `WavefrontData` (`wavefront/wavefront_data.py`):
+    pupil-sphere intersection points, OPD in waves, per-ray intensity, and
+    the reference-sphere radius.
+    """
+
+    pupil_x: jax.Array
+    pupil_y: jax.Array
+    pupil_z: jax.Array
+    opd: jax.Array  # in waves
+    intensity: jax.Array
+    radius: jax.Array
+
+
+def _sphere_path_length(x, y, z, L, M, N, xc, yc, zc, R):
+    """Optical path from image-surface ray positions *backwards* along the ray
+    to the reference sphere (reference `reference_geometry.py:55-80`)."""
+    Lb, Mb, Nb = -L, -M, -N
+    a = Lb * Lb + Mb * Mb + Nb * Nb
+    b = 2.0 * (Lb * (x - xc) + Mb * (y - yc) + Nb * (z - zc))
+    c = (x - xc) ** 2 + (y - yc) ** 2 + (z - zc) ** 2 - R * R
+    d = b * b - 4.0 * a * c
+    d = jnp.where(d < 0.0, 0.0, d)
+    sq = jnp.sqrt(d)
+    t1 = (-b - sq) / (2.0 * a)
+    t2 = (-b + sq) / (2.0 * a)
+    return jnp.where(t1 < 0.0, t2, t1)
+
+
+def _tilt_correction(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
+                     epd):
+    """Launch-plane tilt term added to the OPD for angle fields with an
+    infinite object (reference `strategy.py:88-140`)."""
+    if static.field_type != "angle" or not static.object_infinite:
+        return jnp.zeros_like(Px)
+    max_field = jnp.max(jnp.sqrt(params.x_fields**2 + params.y_fields**2))
+    fx = jnp.deg2rad(Hx * max_field)
+    fy = jnp.deg2rad(Hy * max_field)
+    tx, ty = jnp.tan(fx), jnp.tan(fy)
+    uz = 1.0 / jnp.sqrt(1.0 + tx * tx + ty * ty)
+    ux, uy = tx * uz, ty * uz
+    return ux * Px * epd / 2.0 + uy * Py * epd / 2.0
+
+
+def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
+                   wavelength, strategy: str = "chief_ray") -> WavefrontData:
+    """Compute the wavefront for one field over a pupil sample set.
+
+    Hx/Hy are scalars (one field); Px/Py are (N,) normalized pupil coords.
+    Fully jittable; `jax.vmap` over fields/wavelengths batches it.
+    """
+    n_img = px.index_table(static, params, wavelength)[-1]
+    pos = params.positions()
+    pupil_z = px.XPL(static, params) + pos[-1]
+    epd = px.EPD(static, params)
+
+    Hx = jnp.asarray(Hx, params.cv.dtype)
+    Hy = jnp.asarray(Hy, params.cv.dtype)
+    Px = jnp.asarray(Px, params.cv.dtype)
+    Py = jnp.asarray(Py, params.cv.dtype)
+
+    # vignetting applied to pupil coords, as RealRayTracer.trace does
+    vxf, vyf = vignetting_factors(static, params, Hx[None], Hy[None])
+    Pxv = Px * (1.0 - vxf[0])
+    Pyv = Py * (1.0 - vyf[0])
+
+    # chief ray
+    ch = trace_system(static, params,
+                      Hx[None], Hy[None], jnp.zeros(1), jnp.zeros(1),
+                      wavelength, apply_vignetting=False)
+    cx, cy, cz = ch.x[-1, 0], ch.y[-1, 0], ch.z[-1, 0]
+    c_opd = ch.opd[-1, 0]
+    cL, cM, cN = ch.L[-1, 0], ch.M[-1, 0], ch.N[-1, 0]
+
+    # full bundle
+    full = trace_system(static, params,
+                        jnp.broadcast_to(Hx, Px.shape),
+                        jnp.broadcast_to(Hy, Px.shape),
+                        Pxv, Pyv, wavelength, apply_vignetting=False)
+    x, y, z = full.x[-1], full.y[-1], full.z[-1]
+    L, M, N = full.L[-1], full.M[-1], full.N[-1]
+    opd = full.opd[-1]
+    intensity = full.intensity[-1]
+
+    if strategy == "chief_ray":
+        xc, yc, zc = cx, cy, cz
+        R = jnp.sqrt(cx**2 + cy**2 + (cz - pupil_z) ** 2)
+    elif strategy == "centroid_sphere":
+        wsum = jnp.sum(intensity) + 1e-12
+        xc = jnp.sum(x * intensity) / wsum
+        yc = jnp.sum(y * intensity) / wsum
+        zc = jnp.sum(z * intensity) / wsum
+        R = jnp.sqrt(xc**2 + yc**2 + (zc - pupil_z) ** 2)
+    elif strategy == "best_fit":
+        # LSQ sphere through the wavefront point cloud: first back-project on
+        # the chief-ray sphere to get points, then algebraic sphere fit
+        # (reference BestFitStrategy, `strategy.py:520-620`).
+        R0 = jnp.sqrt(cx**2 + cy**2 + (cz - pupil_z) ** 2)
+        t0 = _sphere_path_length(x, y, z, L, M, N, cx, cy, cz, R0)
+        wx = x - t0 * L
+        wy = y - t0 * M
+        wz = z - t0 * N
+        A = jnp.stack([wx, wy, wz, jnp.ones_like(wx)], axis=-1)
+        b = wx**2 + wy**2 + wz**2
+        sol, *_ = jnp.linalg.lstsq(A, b)
+        xc, yc, zc = sol[0] / 2.0, sol[1] / 2.0, sol[2] / 2.0
+        R = jnp.sqrt(sol[3] + xc**2 + yc**2 + zc**2)
+    else:
+        raise ValueError(f"Unknown wavefront strategy {strategy!r}")
+
+    # reference OPD from the chief ray (always vs the same sphere)
+    opd_img_ref = n_img * _sphere_path_length(cx, cy, cz, cL, cM, cN,
+                                              xc, yc, zc, R)
+    opd_ref = c_opd - opd_img_ref
+    opd_ref = opd_ref + _tilt_correction(static, params, Hx, Hy,
+                                         jnp.zeros(()), jnp.zeros(()), epd)
+
+    t_img = _sphere_path_length(x, y, z, L, M, N, xc, yc, zc, R)
+    opd_img = n_img * t_img
+    opd_full = opd - opd_img
+    opd_full = opd_full + _tilt_correction(static, params, Hx, Hy, Px, Py, epd)
+
+    opd_waves = (opd_ref - opd_full) / (wavelength * 1e-3)
+
+    t = opd_img / n_img
+    return WavefrontData(
+        pupil_x=x - t * L,
+        pupil_y=y - t * M,
+        pupil_z=z - t * N,
+        opd=opd_waves,
+        intensity=intensity,
+        radius=R,
+    )

@@ -31,19 +31,25 @@ REFERENCE = "/root/reference"
 
 
 def _install_numba_stub():
-    if "numba" in sys.modules:
-        return
-    stub = types.ModuleType("numba")
+    if "numba" not in sys.modules:
+        stub = types.ModuleType("numba")
 
-    def njit(*args, **kwargs):
-        if args and callable(args[0]):
-            return args[0]
-        return lambda fn: fn
+        def njit(*args, **kwargs):
+            if args and callable(args[0]):
+                return args[0]
+            return lambda fn: fn
 
-    stub.njit = njit
-    stub.jit = njit
-    stub.prange = range
-    sys.modules["numba"] = stub
+        stub.njit = njit
+        stub.jit = njit
+        stub.prange = range
+        sys.modules["numba"] = stub
+
+    if "vtk" not in sys.modules:
+        # the reference's visualization imports vtk at module scope; a
+        # MagicMock-style stub satisfies class-attribute access patterns
+        from unittest.mock import MagicMock
+
+        sys.modules["vtk"] = MagicMock(name="vtk")
 
 
 @pytest.fixture(scope="session")

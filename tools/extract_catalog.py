@@ -60,6 +60,12 @@ for entry in NAMES:
             "formula": formula,
             "coefficients": coeffs,
         }
+        # tabulated extinction coefficient (absorption), if present
+        if getattr(mf, "_k", None) is not None and getattr(
+            mf, "_k_wavelength", None
+        ) is not None:
+            out[key]["k_wavelength"] = [float(v) for v in mf._k_wavelength]
+            out[key]["k"] = [float(v) for v in mf._k]
         # sanity: check n at 0.55 um matches
         import numpy as np
         n_ref = float(np.asarray(m.n(0.55)))
