@@ -1,0 +1,24 @@
+from optiland_tpu.optimization.problem import OptimizationProblem
+from optiland_tpu.optimization.optimizers import (
+    OptimizerGeneric,
+    LeastSquares,
+    DualAnnealing,
+    DifferentialEvolution,
+    BasinHopping,
+    AdamOptimizer,
+    SGDOptimizer,
+)
+from optiland_tpu.optimization import operands, variables
+
+__all__ = [
+    "OptimizationProblem",
+    "OptimizerGeneric",
+    "LeastSquares",
+    "DualAnnealing",
+    "DifferentialEvolution",
+    "BasinHopping",
+    "AdamOptimizer",
+    "SGDOptimizer",
+    "operands",
+    "variables",
+]
