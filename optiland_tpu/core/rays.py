@@ -130,6 +130,51 @@ def refract(rays: Rays, nx, ny, nz, n1, n2) -> Rays:
     )
 
 
+def grating_diffract(rays: Rays, nx, ny, nz, fx, fy, fz, m, d, n1, n2,
+                     is_reflective: bool) -> Rays:
+    """Vector grating diffraction.
+
+    Compact tangential-momentum form of the reference's expanded closed form
+    (`rays/real_rays.py:207-522`, verified algebraically identical):
+
+        out = (n1 d u0_t + m w f_t - n sqrt(Q)) / (d n2')
+
+    with u0_t the tangential incident direction, f the (unit) grating vector,
+    w the per-ray wavelength (um), d the local grating period (um),
+    n2' = -n2 for reflection, and Q = d^2 n2^2 - |n1 d u0_t + m w f_t|^2.
+    Evanescent orders (Q < 0) are masked to intensity 0 (the reference lets
+    NaN flow).
+    """
+    nx, ny, nz, cosi = _align_normal(rays, nx, ny, nz)
+    # tangential components of the incident direction and grating vector
+    u_t = (rays.L - cosi * nx, rays.M - cosi * ny, rays.N - cosi * nz)
+    fdotn = fx * nx + fy * ny + fz * nz
+    f_t = (fx - fdotn * nx, fy - fdotn * ny, fz - fdotn * nz)
+
+    n2c = -n2 if is_reflective else n2
+    Tx = n1 * d * u_t[0] + m * rays.w * f_t[0]
+    Ty = n1 * d * u_t[1] + m * rays.w * f_t[1]
+    Tz = n1 * d * u_t[2] + m * rays.w * f_t[2]
+    Q = d * d * n2 * n2 - (Tx * Tx + Ty * Ty + Tz * Tz)
+    evanescent = Q < 0.0
+    root = jnp.sqrt(jnp.where(evanescent, 0.0, Q))
+    den = d * n2c
+    # sign quirk preserved from the reference closed form: x/y carry
+    # -n*sqrt(Q) while z carries +nz*sqrt(Q) (transmission; mirrored for
+    # reflection), followed by renormalization (`real_rays.py:330-522`)
+    s = -1.0 if is_reflective else 1.0
+    L = (Tx - nx * root) / den
+    M = (Ty - ny * root) / den
+    N = (Tz + s * nz * root) / den
+    mag = jnp.sqrt(L * L + M * M + N * N)
+    return rays.replace(
+        L=jnp.where(evanescent, rays.L, L / mag),
+        M=jnp.where(evanescent, rays.M, M / mag),
+        N=jnp.where(evanescent, rays.N, N / mag),
+        i=jnp.where(evanescent, jnp.zeros_like(rays.i), rays.i),
+    )
+
+
 def reflect(rays: Rays, nx, ny, nz) -> Rays:
     """Mirror reflection at a surface with normal (nx, ny, nz)."""
     nx, ny, nz, cosi = _align_normal(rays, nx, ny, nz)

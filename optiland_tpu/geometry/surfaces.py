@@ -35,12 +35,27 @@ GEOM_CONIC = 1
 GEOM_EVEN_ASPHERE = 2
 GEOM_ODD_ASPHERE = 3
 GEOM_POLYNOMIAL_XY = 4
+GEOM_BICONIC = 5
+GEOM_TOROIDAL = 6
+GEOM_CHEBYSHEV = 7
+GEOM_ZERNIKE = 8
 
 # Geometry codes that are exactly a conic (closed-form intersection, no
 # Newton refinement needed).
 _CLOSED_FORM = (GEOM_PLANE, GEOM_CONIC)
 
 _EPS = 1e-14
+
+# Coefficient-vector layouts for the non-conic geometries (all packed into
+# the per-surface padded `coeffs` row; `aux` carries static ints):
+#   BICONIC:   coeffs = [cvy, ky];  (cv, k) are the x-profile
+#   TOROIDAL:  (cv, k) = Y-Z curve; coeffs = [cv_rot, alpha_1..alpha_n]
+#              (alpha_i multiplies y^(2(i+1)), reference `toroidal.py:110-122`)
+#   CHEBYSHEV: coeffs = [norm_x, norm_y, C_00..C_ij row-major]; aux = (rows, cols)
+#   ZERNIKE:   coeffs = [norm_radius, c_0..c_n]; aux = (type_code,) with
+#              0=fringe, 1=noll, 2=standard (reference `zernike.py:44-51`)
+ZERNIKE_TYPE_CODES = {"fringe": 0, "noll": 1, "standard": 2}
+_ZERNIKE_TYPES = {v: k for k, v in ZERNIKE_TYPE_CODES.items()}
 
 
 def _conic_sag(x, y, cv, k):
@@ -126,12 +141,76 @@ def _poly_xy_terms(x, y, coeffs, n_coeffs, grad: bool):
     return s
 
 
-def sag(code: int, n_coeffs: int, x, y, cv, k, coeffs):
-    """Surface sag z(x, y). `code` and `n_coeffs` are static."""
+def _biconic_sag(x, y, cv, k, coeffs):
+    zx = _conic_1d(x, cv, k)
+    zy = _conic_1d(y, coeffs[0], coeffs[1])
+    return zx + zy
+
+
+def _conic_1d(t, c, k):
+    """1-D conic profile c t^2 / (1 + sqrt(1 - (1+k) c^2 t^2))."""
+    t2 = t * t
+    den = 1.0 + jnp.sqrt(jnp.maximum(1.0 - (1.0 + k) * c * c * t2, _EPS))
+    return c * t2 / den
+
+
+def _toroidal_sag(x, y, cv, k, coeffs, n_coeffs):
+    """z = R - sqrt((R - z_y)^2 - x^2), rationalized to curvature form
+    (regular at cv_rot = 0): z = (2 z_y - c z_y^2 + c x^2) / (1 + sqrt(w)),
+    w = (1 - c z_y)^2 - c^2 x^2 (reference `toroidal.py:162-200`)."""
+    z_y = _conic_1d(y, cv, k)
+    y2 = y * y
+    yp = y2
+    for i in range(1, n_coeffs):
+        z_y = z_y + coeffs[i] * yp
+        yp = yp * y2
+    c = coeffs[0]
+    w = (1.0 - c * z_y) ** 2 - c * c * x * x
+    w = jnp.maximum(w, _EPS)
+    return (2.0 * z_y - c * z_y * z_y + c * x * x) / (1.0 + jnp.sqrt(w))
+
+
+def _cheb_T(order: int, t):
+    """Chebyshev T_0..T_order values at t via the recurrence (unrolled)."""
+    Ts = [jnp.ones_like(t), t]
+    for _ in range(2, order + 1):
+        Ts.append(2.0 * t * Ts[-1] - Ts[-2])
+    return Ts[: order + 1]
+
+
+def _chebyshev_sag(x, y, cv, k, coeffs, rows: int, cols: int):
+    nx = coeffs[0]
+    ny = coeffs[1]
+    xn = x / nx
+    yn = y / ny
+    z = _conic_sag(x, y, cv, k)
+    Tx = _cheb_T(rows - 1, xn)
+    Ty = _cheb_T(cols - 1, yn)
+    for i in range(rows):
+        for j in range(cols):
+            z = z + coeffs[2 + i * cols + j] * Tx[i] * Ty[j]
+    return z
+
+
+def _zernike_sag(x, y, cv, k, coeffs, n_coeffs: int, type_code: int):
+    from optiland_tpu import zernike as _z
+
+    norm_radius = coeffs[0]
+    xn = x / norm_radius
+    yn = y / norm_radius
+    z = _conic_sag(x, y, cv, k)
+    zc = jnp.stack([coeffs[1 + i] for i in range(n_coeffs - 1)])
+    # Cartesian polynomial evaluation: smooth at the vertex, unlike the
+    # (rho, phi) form whose arctan2 JVP is singular at the origin
+    return z + _z.evaluate_xy(_ZERNIKE_TYPES[type_code], zc, xn, yn)
+
+
+def sag(code: int, n_coeffs: int, x, y, cv, k, coeffs, aux: tuple = ()):
+    """Surface sag z(x, y). `code`, `n_coeffs` and `aux` are static."""
     base = _conic_sag(x, y, cv, k)
     if code in (GEOM_PLANE,):
         return jnp.zeros_like(x + y)
-    if code == GEOM_CONIC or n_coeffs == 0:
+    if code == GEOM_CONIC:
         return base
     if code == GEOM_EVEN_ASPHERE:
         return base + _even_asphere_terms(x, y, coeffs, n_coeffs)
@@ -139,37 +218,65 @@ def sag(code: int, n_coeffs: int, x, y, cv, k, coeffs):
         return base + _odd_asphere_terms(x, y, coeffs, n_coeffs)
     if code == GEOM_POLYNOMIAL_XY:
         return base + _poly_xy_terms(x, y, coeffs, n_coeffs, grad=False)
+    if code == GEOM_BICONIC:
+        return _biconic_sag(x, y, cv, k, coeffs)
+    if code == GEOM_TOROIDAL:
+        return _toroidal_sag(x, y, cv, k, coeffs, n_coeffs)
+    if code == GEOM_CHEBYSHEV:
+        return _chebyshev_sag(x, y, cv, k, coeffs, aux[0], aux[1])
+    if code == GEOM_ZERNIKE:
+        return _zernike_sag(x, y, cv, k, coeffs, n_coeffs, aux[0])
     raise ValueError(f"Unknown geometry code {code}")
 
 
-def sag_and_grad(code: int, n_coeffs: int, x, y, cv, k, coeffs):
+def sag_and_grad(code: int, n_coeffs: int, x, y, cv, k, coeffs, aux: tuple = ()):
     """Return (sag, d sag/dx, d sag/dy) — one fused evaluation for Newton
-    steps and surface normals."""
+    steps and surface normals.
+
+    Conic/asphere/poly families use hand-written analytic gradients (fewest
+    FLOPs on the hot path); the freeform families get exact gradients via
+    two forward-mode JVPs of their sag — no hand-derivation, still one fused
+    XLA graph.
+    """
     if code == GEOM_PLANE:
         z = jnp.zeros_like(x + y)
         return z, z, z
-    z = _conic_sag(x, y, cv, k)
-    gx, gy = _conic_grad(x, y, cv, k)
-    if code == GEOM_CONIC or n_coeffs == 0:
+    if code in (GEOM_CONIC,) or (n_coeffs == 0 and code in
+                                 (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE,
+                                  GEOM_POLYNOMIAL_XY)):
+        z = _conic_sag(x, y, cv, k)
+        gx, gy = _conic_grad(x, y, cv, k)
         return z, gx, gy
     if code == GEOM_EVEN_ASPHERE:
+        z = _conic_sag(x, y, cv, k)
+        gx, gy = _conic_grad(x, y, cv, k)
         tz = _even_asphere_terms(x, y, coeffs, n_coeffs)
         tx, ty = _even_asphere_grad_terms(x, y, coeffs, n_coeffs)
         return z + tz, gx + tx, gy + ty
     if code == GEOM_ODD_ASPHERE:
+        z = _conic_sag(x, y, cv, k)
+        gx, gy = _conic_grad(x, y, cv, k)
         tz = _odd_asphere_terms(x, y, coeffs, n_coeffs)
         tx, ty = _odd_asphere_grad_terms(x, y, coeffs, n_coeffs)
         return z + tz, gx + tx, gy + ty
     if code == GEOM_POLYNOMIAL_XY:
+        z = _conic_sag(x, y, cv, k)
+        gx, gy = _conic_grad(x, y, cv, k)
         tz, tx, ty = _poly_xy_terms(x, y, coeffs, n_coeffs, grad=True)
         return z + tz, gx + tx, gy + ty
+    if code in (GEOM_BICONIC, GEOM_TOROIDAL, GEOM_CHEBYSHEV, GEOM_ZERNIKE):
+        fn = lambda xx, yy: sag(code, n_coeffs, xx, yy, cv, k, coeffs, aux)  # noqa: E731
+        z, gx = jax.jvp(lambda xx: fn(xx, y), (x,), (jnp.ones_like(x),))
+        _, gy = jax.jvp(lambda yy: fn(x, yy), (y,), (jnp.ones_like(y),))
+        return z, gx, gy
     raise ValueError(f"Unknown geometry code {code}")
 
 
-def surface_normal(code: int, n_coeffs: int, x, y, cv, k, coeffs):
+def surface_normal(code: int, n_coeffs: int, x, y, cv, k, coeffs,
+                   aux: tuple = ()):
     """Unit surface normal at (x, y) on the surface, oriented with nz < 0
     (the reference convention, `standard.py:150-176`: grad(sag - z))."""
-    _, gx, gy = sag_and_grad(code, n_coeffs, x, y, cv, k, coeffs)
+    _, gx, gy = sag_and_grad(code, n_coeffs, x, y, cv, k, coeffs, aux)
     mag = jnp.sqrt(gx * gx + gy * gy + 1.0)
     return gx / mag, gy / mag, -1.0 / mag
 
@@ -208,7 +315,7 @@ def _conic_intersect(x, y, z, L, M, N, cv, k):
 
 
 def intersect(code: int, n_coeffs: int, x, y, z, L, M, N, cv, k, coeffs,
-              newton_iters: int = 16):
+              newton_iters: int = 16, aux: tuple = ()):
     """Distance t from ray origin to the surface (local frame).
 
     Closed form for plane/conic; conic initial guess + fixed-count Newton
@@ -217,14 +324,17 @@ def intersect(code: int, n_coeffs: int, x, y, z, L, M, N, cv, k, coeffs,
     loop). Returns (t, valid).
     """
     t, valid = _conic_intersect(x, y, z, L, M, N, cv, k)
-    if code in _CLOSED_FORM or n_coeffs == 0:
+    if code in _CLOSED_FORM or (
+        n_coeffs == 0 and code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE,
+                                   GEOM_POLYNOMIAL_XY)
+    ):
         return t, valid
 
     for _ in range(newton_iters):
         xt = x + t * L
         yt = y + t * M
         zt = z + t * N
-        s, gx, gy = sag_and_grad(code, n_coeffs, xt, yt, cv, k, coeffs)
+        s, gx, gy = sag_and_grad(code, n_coeffs, xt, yt, cv, k, coeffs, aux)
         f = s - zt
         fp = gx * L + gy * M - N
         fp = jnp.where(jnp.abs(fp) > _EPS, fp, jnp.sign(fp) * _EPS + (fp == 0) * _EPS)

@@ -228,7 +228,7 @@ def AOI(static, params, surface_number, Hx, Hy, Px, Py, wavelength):
     nx, ny, nz = surface_normal(
         static.geom_codes[k], static.geom_n_coeffs[k],
         hist.x[k, 0], hist.y[k, 0], params.cv[k], params.conic[k],
-        params.coeffs[k],
+        params.coeffs[k], aux=static.geom_aux[k],
     )
     cosa = jnp.abs(L0 * nx + M0 * ny + N0 * nz)
     return jnp.rad2deg(jnp.arccos(jnp.clip(cosa, -1.0, 1.0)))
@@ -259,10 +259,11 @@ def edge_thickness(static, params, surface_number, semi_apertures):
     r1, r2 = semi_apertures
     z1 = sag(static.geom_codes[k], static.geom_n_coeffs[k],
              jnp.asarray(0.0), jnp.asarray(r1), params.cv[k], params.conic[k],
-             params.coeffs[k])
+             params.coeffs[k], aux=static.geom_aux[k])
     z2 = sag(static.geom_codes[k + 1], static.geom_n_coeffs[k + 1],
              jnp.asarray(0.0), jnp.asarray(r2), params.cv[k + 1],
-             params.conic[k + 1], params.coeffs[k + 1])
+             params.conic[k + 1], params.coeffs[k + 1],
+             aux=static.geom_aux[k + 1])
     return params.thickness[k] - z1 + z2
 
 

@@ -70,11 +70,23 @@ class _SurfaceCollection:
         aperture: float | None = None,
         f: float = 0.0,
         comment: str = "",
+        **geom_kwargs,
     ):
         geometry = "standard"
-        if surface_type in ("even_asphere", "odd_asphere", "polynomial"):
+        if surface_type in ("even_asphere", "odd_asphere", "polynomial",
+                            "biconic", "toroidal", "chebyshev", "zernike"):
             geometry = surface_type
             surface_type = "standard"
+        if surface_type not in ("standard", "paraxial", "grating"):
+            raise ValueError(
+                f"Unknown surface_type {surface_type!r}; expected one of "
+                "standard, paraxial, grating, even_asphere, odd_asphere, "
+                "polynomial, biconic, toroidal, chebyshev, zernike"
+            )
+        if geometry == "chebyshev":
+            # 2-D coefficient grid travels via geom_params (static shape)
+            geom_kwargs.setdefault("coefficients", coefficients)
+            coefficients = ()
         spec = SurfaceSpec(
             radius=float(radius),
             thickness=float(thickness),
@@ -87,6 +99,7 @@ class _SurfaceCollection:
             semi_aperture=aperture,
             dx=dx, dy=dy, rx=rx, ry=ry, rz=rz,
             focal_length=f,
+            geom_params=geom_kwargs,
             comment=comment,
         )
         if index is None or index == len(self._specs):

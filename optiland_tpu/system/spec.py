@@ -28,11 +28,16 @@ import jax.numpy as jnp
 
 from optiland_tpu import config
 from optiland_tpu.geometry.surfaces import (
+    GEOM_BICONIC,
+    GEOM_CHEBYSHEV,
     GEOM_CONIC,
     GEOM_EVEN_ASPHERE,
     GEOM_ODD_ASPHERE,
     GEOM_PLANE,
     GEOM_POLYNOMIAL_XY,
+    GEOM_TOROIDAL,
+    GEOM_ZERNIKE,
+    ZERNIKE_TYPE_CODES,
 )
 from optiland_tpu.materials.catalog import AIR, MaterialSpec, resolve_material
 from optiland_tpu.materials.dispersion import MAX_COEFFS
@@ -42,6 +47,7 @@ INT_REFRACT = 0
 INT_REFLECT = 1
 INT_THIN_LENS = 2  # reference "paraxial" surface type
 INT_NONE = 3  # object/image surfaces: record only
+INT_DIFFRACT = 4  # grating surface (reference DiffractiveInteractionModel)
 
 _GEOM_BY_TYPE = {
     "standard": GEOM_CONIC,
@@ -49,6 +55,10 @@ _GEOM_BY_TYPE = {
     "even_asphere": GEOM_EVEN_ASPHERE,
     "odd_asphere": GEOM_ODD_ASPHERE,
     "polynomial": GEOM_POLYNOMIAL_XY,
+    "biconic": GEOM_BICONIC,
+    "toroidal": GEOM_TOROIDAL,
+    "chebyshev": GEOM_CHEBYSHEV,
+    "zernike": GEOM_ZERNIKE,
 }
 
 _INF = float("inf")
@@ -73,6 +83,7 @@ class SurfaceSpec:
     ry: float = 0.0
     rz: float = 0.0
     focal_length: float = 0.0  # thin-lens surfaces only
+    geom_params: dict = field(default_factory=dict)
     comment: str = ""
 
 
@@ -84,6 +95,8 @@ class SystemStatic:
     geom_codes: tuple[int, ...]
     geom_n_coeffs: tuple[int, ...]
     interactions: tuple[int, ...]
+    is_reflective: tuple[bool, ...]  # mirror-material surfaces
+    geom_aux: tuple[tuple, ...]  # static per-surface geometry ints
     mat_formulas: tuple[int, ...]  # material after each surface
     mat_n_coeffs: tuple[int, ...]
     has_absorption: tuple[bool, ...]  # medium after surface k absorbs
@@ -126,6 +139,7 @@ class SystemParams:
     k_wl: jax.Array  # (S, K) extinction table wavelengths (um)
     k_val: jax.Array  # (S, K) extinction coefficients
     ap_radius: jax.Array  # (S,) physical semi-aperture (inf = open)
+    grating: jax.Array  # (S, 3): diffraction order m, period d (um), groove angle
     aperture_value: jax.Array  # system aperture scalar
     x_fields: jax.Array  # (F,)
     y_fields: jax.Array
@@ -154,6 +168,54 @@ class SystemParams:
 MAX_GEOM_COEFFS = 17
 
 
+def _safe_cv(r: float) -> float:
+    return 0.0 if (r in (_INF, -_INF) or r == 0) else 1.0 / r
+
+
+def _pack_geometry(s: SurfaceSpec):
+    """Resolve one SurfaceSpec's geometry to (code, cv, k, coeffs, aux).
+
+    Layouts documented in `geometry/surfaces.py` (coefficient-vector
+    layouts comment).
+    """
+    geom = _GEOM_BY_TYPE[s.geometry]
+    gp = s.geom_params
+    if geom == GEOM_CONIC and _safe_cv(s.radius) == 0.0:
+        geom = GEOM_PLANE
+    if geom in (GEOM_PLANE, GEOM_CONIC, GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE,
+                GEOM_POLYNOMIAL_XY):
+        return (geom, _safe_cv(s.radius), s.conic, list(s.coefficients), ())
+    if geom == GEOM_BICONIC:
+        return (
+            geom, _safe_cv(s.radius), s.conic,
+            [_safe_cv(gp.get("radius_y", _INF)), gp.get("conic_y", 0.0)], (),
+        )
+    if geom == GEOM_TOROIDAL:
+        # (cv, k) = Y-Z curve; s.radius is the rotation radius R_rot
+        poly = list(gp.get("coeffs_poly_y", s.coefficients))
+        return (
+            geom, _safe_cv(gp.get("radius_y", _INF)), s.conic,
+            [_safe_cv(s.radius)] + poly, (),
+        )
+    if geom == GEOM_CHEBYSHEV:
+        C = np.atleast_2d(np.asarray(gp.get("coefficients", s.coefficients),
+                                     float))
+        rows, cols = C.shape
+        return (
+            geom, _safe_cv(s.radius), s.conic,
+            [gp.get("norm_x", 1.0), gp.get("norm_y", 1.0)] + list(C.ravel()),
+            (rows, cols),
+        )
+    if geom == GEOM_ZERNIKE:
+        zt = gp.get("zernike_type", "standard")
+        return (
+            geom, _safe_cv(s.radius), s.conic,
+            [gp.get("norm_radius", 1.0)] + list(s.coefficients),
+            (ZERNIKE_TYPE_CODES[zt],),
+        )
+    raise ValueError(f"Unhandled geometry {s.geometry!r}")
+
+
 def build_system(
     surfaces: list[SurfaceSpec],
     *,
@@ -175,9 +237,14 @@ def build_system(
     if S < 3:
         raise ValueError("A system needs at least object, one surface, image.")
 
+    packed = [_pack_geometry(s) for s in surfaces]
+    coeff_width = max([MAX_GEOM_COEFFS] + [len(p[3]) for p in packed])
+
     geom_codes = []
     geom_n_coeffs = []
+    geom_aux = []
     interactions = []
+    is_reflective = []
     mat_formulas = []
     mat_n_coeffs = []
     has_absorption = []
@@ -188,7 +255,7 @@ def build_system(
 
     cv = np.zeros(S)
     conic = np.zeros(S)
-    coeffs = np.zeros((S, MAX_GEOM_COEFFS))
+    coeffs = np.zeros((S, coeff_width))
     thickness = np.zeros(S)
     tilt = np.zeros((S, 3))
     decenter = np.zeros((S, 2))
@@ -202,6 +269,7 @@ def build_system(
     k_wl = np.ones((S, KMAX))
     k_val = np.zeros((S, KMAX))
     ap_radius = np.full(S, np.inf)
+    grating = np.zeros((S, 3))
 
     # propagate mirror semantics: a "mirror" material keeps the incident medium
     current_medium = AIR
@@ -210,17 +278,23 @@ def build_system(
         reflective = mat.mirror
         if not reflective:
             current_medium = mat
+        is_reflective.append(bool(reflective))
 
-        geom = _GEOM_BY_TYPE[s.geometry]
-        if geom == GEOM_CONIC and (s.radius in (_INF, -_INF) or s.radius == 0):
-            geom = GEOM_PLANE
+        geom, cv_val, k_val_, packed_coeffs, aux = packed[idx]
         geom_codes.append(geom)
-        geom_n_coeffs.append(len(s.coefficients))
+        geom_n_coeffs.append(len(packed_coeffs))
+        geom_aux.append(aux)
 
         if idx == 0 or idx == S - 1:
             interactions.append(INT_NONE)
         elif s.surface_type == "paraxial":
             interactions.append(INT_THIN_LENS)
+        elif s.surface_type == "grating":
+            interactions.append(INT_DIFFRACT)
+            gp = s.geom_params
+            grating[idx] = (gp.get("grating_order", 1),
+                            gp.get("grating_period", 1.0),
+                            gp.get("groove_orientation_angle", 0.0))
         elif reflective:
             interactions.append(INT_REFLECT)
         else:
@@ -246,12 +320,10 @@ def build_system(
         if s.is_stop:
             stop_index = idx
 
-        r = s.radius
-        cv[idx] = 0.0 if (r in (_INF, -_INF) or r == 0) else 1.0 / r
-        conic[idx] = s.conic
-        nc = min(len(s.coefficients), MAX_GEOM_COEFFS)
-        if nc:
-            coeffs[idx, :nc] = s.coefficients[:nc]
+        cv[idx] = cv_val
+        conic[idx] = k_val_
+        if packed_coeffs:
+            coeffs[idx, : len(packed_coeffs)] = packed_coeffs
         thickness[idx] = s.thickness
         tilt[idx] = (s.rx, s.ry, s.rz)
         decenter[idx] = (s.dx, s.dy)
@@ -267,7 +339,9 @@ def build_system(
         num_surfaces=S,
         geom_codes=tuple(geom_codes),
         geom_n_coeffs=tuple(geom_n_coeffs),
+        geom_aux=tuple(geom_aux),
         interactions=tuple(interactions),
+        is_reflective=tuple(is_reflective),
         mat_formulas=tuple(mat_formulas),
         mat_n_coeffs=tuple(mat_n_coeffs),
         has_absorption=tuple(has_absorption),
@@ -295,6 +369,7 @@ def build_system(
         k_wl=jnp.asarray(k_wl, dtype),
         k_val=jnp.asarray(k_val, dtype),
         ap_radius=jnp.asarray(ap_radius, dtype),
+        grating=jnp.asarray(grating, dtype),
         aperture_value=jnp.asarray(aperture_value, dtype),
         x_fields=jnp.asarray(np.asarray(x_fields, float), dtype),
         y_fields=jnp.asarray(np.asarray(y_fields, float), dtype),

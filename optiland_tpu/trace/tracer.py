@@ -32,6 +32,7 @@ from optiland_tpu.core.rays import Rays
 from optiland_tpu.geometry.surfaces import intersect, surface_normal
 from optiland_tpu.materials.dispersion import material_index
 from optiland_tpu.system.spec import (
+    INT_DIFFRACT,
     INT_NONE,
     INT_REFLECT,
     INT_THIN_LENS,
@@ -84,6 +85,60 @@ def _thin_lens_interact(rays: Rays, f, n1, n2) -> Rays:
     return rays.replace(L=ux2 * N2, M=uy2 * N2, N=N2)
 
 
+def _grating_interact(static, params, k, rays: Rays, n1, n2) -> Rays:
+    """Grating diffraction step (reference `interactions/diffractive_model.py:
+    28-61`): grating vector from groove orientation, period corrected by the
+    in-plane projection, then the vector grating equation.
+
+    Matches the reference's conventions: plane gratings use
+    f = (-sin a, cos a, 0) (`geometries/plane_grating.py:113-132`); curved
+    standard gratings use f = -(n_up x t)/|...| with t the groove tangent
+    lifted onto the surface (`standard_grating.py:233-256`).
+    """
+    import optiland_tpu.geometry.surfaces as G
+
+    m = params.grating[k, 0]
+    d = params.grating[k, 1]
+    angle = params.grating[k, 2]
+    code = static.geom_codes[k]
+    reflective = static.is_reflective[k]
+
+    if code == G.GEOM_PLANE:
+        nx = jnp.zeros_like(rays.x)
+        ny = jnp.zeros_like(rays.x)
+        nz = jnp.ones_like(rays.x)
+        fx = -jnp.sin(angle) * jnp.ones_like(rays.x)
+        fy = jnp.cos(angle) * jnp.ones_like(rays.x)
+        fz = jnp.zeros_like(rays.x)
+    else:
+        nx, ny, nz = G.surface_normal(
+            code, static.geom_n_coeffs[k], rays.x, rays.y,
+            params.cv[k], params.conic[k], params.coeffs[k],
+            aux=static.geom_aux[k],
+        )
+        # groove tangent lifted onto the surface, then f = -(n_up x t)
+        _, gx, gy = G.sag_and_grad(
+            code, static.geom_n_coeffs[k], rays.x, rays.y,
+            params.cv[k], params.conic[k], params.coeffs[k],
+            aux=static.geom_aux[k],
+        )
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        tx, ty, tz = ca, sa, gx * ca + gy * sa
+        # surface_normal returns nz < 0; the reference builds f from the
+        # upward normal
+        ux, uy, uz = -nx, -ny, -nz
+        fx = uy * tz - uz * ty
+        fy = uz * tx - ux * tz
+        fz = ux * ty - uy * tx
+        mag = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+        fx, fy, fz = -fx / mag, -fy / mag, -fz / mag
+
+    # projection-corrected period (reference `diffractive_model.py:50-51`)
+    pp = d / jnp.sqrt(fx * fx + fy * fy)
+    return R.grating_diffract(rays, nx, ny, nz, fx, fy, fz, m, pp, n1, n2,
+                              reflective)
+
+
 def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> TraceHistory:
     """Trace a starting bundle through all surfaces; returns the history.
 
@@ -122,7 +177,7 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
             static.geom_codes[k], static.geom_n_coeffs[k],
             rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
             params.cv[k], params.conic[k], params.coeffs[k],
-            newton_iters=static.newton_iters,
+            newton_iters=static.newton_iters, aux=static.geom_aux[k],
         )
         n_pre = n_of(k - 1, rays.w)
         rays = R.propagate(rays, t)
@@ -151,16 +206,21 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
             nx, ny, nz = surface_normal(
                 static.geom_codes[k], static.geom_n_coeffs[k],
                 rays.x, rays.y, params.cv[k], params.conic[k], params.coeffs[k],
+                aux=static.geom_aux[k],
             )
             rays = R.reflect(rays, nx, ny, nz)
         elif interaction == INT_THIN_LENS:
             rays = _thin_lens_interact(
                 rays, params.focal_length[k], n_pre, n_of(k, rays.w)
             )
+        elif interaction == INT_DIFFRACT:
+            rays = _grating_interact(static, params, k, rays, n_pre,
+                                     n_of(k, rays.w))
         else:
             nx, ny, nz = surface_normal(
                 static.geom_codes[k], static.geom_n_coeffs[k],
                 rays.x, rays.y, params.cv[k], params.conic[k], params.coeffs[k],
+                aux=static.geom_aux[k],
             )
             rays = R.refract(rays, nx, ny, nz, n_pre, n_of(k, rays.w))
 

@@ -106,6 +106,43 @@ def evaluate(zernike_type: str, coeffs, r, phi):
     return A @ coeffs
 
 
+def evaluate_xy(zernike_type: str, coeffs, xn, yn):
+    """Zernike sum evaluated directly in Cartesian coordinates.
+
+    Each term R_n^m(rho) * cos/sin(m phi) is expanded as a polynomial in
+    (xn, yn): rho^m cos(m phi) = Re[(xn + i yn)^m] via the real recurrence,
+    and the remaining radial powers are even powers of rho^2. Unlike the
+    (rho, phi) form, this is smooth at the origin — arctan2's derivative is
+    singular there, which would leak NaN into surface-normal JVPs for the
+    exact on-axis ray.
+    """
+    r2 = xn * xn + yn * yn
+    num_terms = int(coeffs.shape[-1])
+    idx = indices(zernike_type, num_terms)
+    max_m = max(abs(m) for _, m in idx)
+    # C[m] = rho^m cos(m phi), S[m] = rho^m sin(m phi)
+    C = [jnp.ones_like(xn)]
+    S = [jnp.zeros_like(xn)]
+    for _ in range(max_m):
+        c_prev, s_prev = C[-1], S[-1]
+        C.append(c_prev * xn - s_prev * yn)
+        S.append(s_prev * xn + c_prev * yn)
+    out = 0.0
+    for t, (n, m) in enumerate(idx):
+        am = abs(m)
+        # R_n^m(rho) / rho^am  -> polynomial in rho^2
+        rad = 0.0
+        for k in range((n - am) // 2 + 1):
+            ck = ((-1) ** k * math.factorial(n - k)
+                  / (math.factorial(k) * math.factorial((n + am) // 2 - k)
+                     * math.factorial((n - am) // 2 - k)))
+            rad = rad + ck * r2 ** ((n - am) // 2 - k)
+        azim = C[am] if m >= 0 else S[am]
+        out = out + (coeffs[t] * _norm_constant(zernike_type, n, m)
+                     * rad * azim)
+    return out
+
+
 def fit(zernike_type: str, num_terms: int, x, y, z):
     """LSQ-fit Zernike coefficients to samples z(x, y) on the unit disk
     (reference `zernike/fit.py:101-118`). Returns (num_terms,) coefficients."""
