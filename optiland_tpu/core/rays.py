@@ -47,6 +47,9 @@ class Rays:
     i: jax.Array
     opd: jax.Array
     w: jax.Array
+    # polarization ray-tracing matrix (N, 3, 3) complex; None = unpolarized
+    # trace (reference PolarizedRays.p, `rays/polarized_rays.py:51`)
+    p: jax.Array | None = None
 
     @property
     def num_rays(self) -> int:

@@ -27,10 +27,11 @@ from optiland_tpu.trace import tracer as _tracer
 
 
 @lru_cache(maxsize=256)
-def _jit_trace(static):
+def _jit_trace(static, polarization=None):
     def fn(params, Hx, Hy, Px, Py, wavelength, apply_vignetting):
         return _tracer.trace_system(static, params, Hx, Hy, Px, Py, wavelength,
-                                    apply_vignetting=apply_vignetting)
+                                    apply_vignetting=apply_vignetting,
+                                    polarization=polarization)
 
     return jax.jit(fn, static_argnames=("apply_vignetting",))
 
@@ -69,6 +70,7 @@ class _SurfaceCollection:
         rz: float = 0.0,
         aperture: float | None = None,
         f: float = 0.0,
+        coating=None,
         comment: str = "",
         **geom_kwargs,
     ):
@@ -99,6 +101,7 @@ class _SurfaceCollection:
             semi_aperture=aperture,
             dx=dx, dy=dy, rx=rx, ry=ry, rz=rz,
             focal_length=f,
+            coating=coating,
             geom_params=geom_kwargs,
             comment=comment,
         )
@@ -202,7 +205,7 @@ class Optic:
         self.wavelengths = _WavelengthGroup(self)
         self.aperture_type: str | None = None
         self.aperture_value: float = 0.0
-        self.polarization = "ignore"
+        self.polarization = "ignore"  # "ignore" | PolarizationState
         self._built = None
         self.paraxial = _ParaxialFacade(self)
 
@@ -222,6 +225,24 @@ class Optic:
 
     def set_field_type(self, field_type: str):
         self.fields.set_type(field_type)
+
+    def set_polarization(self, state):
+        """Set the trace polarization: "ignore" (scalar trace) or a
+        PolarizationState (reference `Optic.polarization`)."""
+        from optiland_tpu.polarization import PolarizationState
+
+        if state == "ignore" or isinstance(state, PolarizationState):
+            self.polarization = state
+        elif state == "unpolarized":
+            self.polarization = PolarizationState.unpolarized()
+        else:
+            raise ValueError(
+                "polarization must be 'ignore', 'unpolarized', or a "
+                "PolarizationState"
+            )
+
+    def _pol(self):
+        return None if self.polarization == "ignore" else self.polarization
 
     def add_field(self, y: float = 0.0, x: float = 0.0, vx: float = 0.0,
                   vy: float = 0.0):
@@ -294,7 +315,7 @@ class Optic:
         Hy_full = jnp.repeat(Hy, nP)
         Px_full = jnp.tile(Px, Hx.shape[0])
         Py_full = jnp.tile(Py, Hx.shape[0])
-        return _jit_trace(static)(
+        return _jit_trace(static, self._pol())(
             params, Hx_full, Hy_full, Px_full, Py_full,
             jnp.asarray(wavelength, params.cv.dtype), True
         )
@@ -316,6 +337,6 @@ class Optic:
         vxf, vyf = vignetting_factors(static, params, Hx, Hy)
         Px = Px * (1.0 - vxf)
         Py = Py * (1.0 - vyf)
-        return _jit_trace(static)(
+        return _jit_trace(static, self._pol())(
             params, Hx, Hy, Px, Py, jnp.asarray(wavelength, params.cv.dtype), True
         )

@@ -49,6 +49,27 @@ INT_THIN_LENS = 2  # reference "paraxial" surface type
 INT_NONE = 3  # object/image surfaces: record only
 INT_DIFFRACT = 4  # grating surface (reference DiffractiveInteractionModel)
 
+# coating kinds (static per surface; params live in SystemParams.coating_params)
+COAT_NONE = 0
+COAT_SIMPLE = 1        # params: [transmittance, reflectance]
+COAT_FRESNEL = 2
+COAT_POLARIZER_H = 3
+COAT_POLARIZER_V = 4
+COAT_POLARIZER_RCP = 5
+COAT_POLARIZER_LCP = 6
+COAT_RETARDER = 7      # params: [retardance, theta]
+COAT_DIATTENUATOR = 8  # params: [t_min, t_max, theta]
+COAT_LINEAR_POLARIZER = 9  # params: [theta]
+
+_COATING_BY_NAME = {
+    None: COAT_NONE,
+    "fresnel": COAT_FRESNEL,
+    "polarizer_h": COAT_POLARIZER_H,
+    "polarizer_v": COAT_POLARIZER_V,
+    "polarizer_rcp": COAT_POLARIZER_RCP,
+    "polarizer_lcp": COAT_POLARIZER_LCP,
+}
+
 _GEOM_BY_TYPE = {
     "standard": GEOM_CONIC,
     "plane": GEOM_PLANE,
@@ -83,6 +104,7 @@ class SurfaceSpec:
     ry: float = 0.0
     rz: float = 0.0
     focal_length: float = 0.0  # thin-lens surfaces only
+    coating: object = None  # None | name str | (kind, *params) tuple
     geom_params: dict = field(default_factory=dict)
     comment: str = ""
 
@@ -96,6 +118,7 @@ class SystemStatic:
     geom_n_coeffs: tuple[int, ...]
     interactions: tuple[int, ...]
     is_reflective: tuple[bool, ...]  # mirror-material surfaces
+    coatings: tuple[int, ...]  # COAT_* codes per surface
     geom_aux: tuple[tuple, ...]  # static per-surface geometry ints
     mat_formulas: tuple[int, ...]  # material after each surface
     mat_n_coeffs: tuple[int, ...]
@@ -140,6 +163,7 @@ class SystemParams:
     k_val: jax.Array  # (S, K) extinction coefficients
     ap_radius: jax.Array  # (S,) physical semi-aperture (inf = open)
     grating: jax.Array  # (S, 3): diffraction order m, period d (um), groove angle
+    coating_params: jax.Array  # (S, 4) per-coating parameter slots
     aperture_value: jax.Array  # system aperture scalar
     x_fields: jax.Array  # (F,)
     y_fields: jax.Array
@@ -245,6 +269,7 @@ def build_system(
     geom_aux = []
     interactions = []
     is_reflective = []
+    coatings = []
     mat_formulas = []
     mat_n_coeffs = []
     has_absorption = []
@@ -270,6 +295,7 @@ def build_system(
     k_val = np.zeros((S, KMAX))
     ap_radius = np.full(S, np.inf)
     grating = np.zeros((S, 3))
+    coating_params = np.zeros((S, 4))
 
     # propagate mirror semantics: a "mirror" material keeps the incident medium
     current_medium = AIR
@@ -317,6 +343,20 @@ def build_system(
         has_decenter.append(bool(s.dx or s.dy))
         has_aperture.append(s.semi_aperture is not None)
 
+        coat = s.coating
+        if coat is None or isinstance(coat, str):
+            coatings.append(_COATING_BY_NAME[coat])
+        else:
+            kind, *cp = coat
+            code = {
+                "simple": COAT_SIMPLE,
+                "retarder": COAT_RETARDER,
+                "diattenuator": COAT_DIATTENUATOR,
+                "linear_polarizer": COAT_LINEAR_POLARIZER,
+            }[kind]
+            coatings.append(code)
+            coating_params[idx, : len(cp)] = cp
+
         if s.is_stop:
             stop_index = idx
 
@@ -342,6 +382,7 @@ def build_system(
         geom_aux=tuple(geom_aux),
         interactions=tuple(interactions),
         is_reflective=tuple(is_reflective),
+        coatings=tuple(coatings),
         mat_formulas=tuple(mat_formulas),
         mat_n_coeffs=tuple(mat_n_coeffs),
         has_absorption=tuple(has_absorption),
@@ -370,6 +411,7 @@ def build_system(
         k_val=jnp.asarray(k_val, dtype),
         ap_radius=jnp.asarray(ap_radius, dtype),
         grating=jnp.asarray(grating, dtype),
+        coating_params=jnp.asarray(coating_params, dtype),
         aperture_value=jnp.asarray(aperture_value, dtype),
         x_fields=jnp.asarray(np.asarray(x_fields, float), dtype),
         y_fields=jnp.asarray(np.asarray(y_fields, float), dtype),

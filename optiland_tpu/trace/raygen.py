@@ -77,7 +77,8 @@ def _ray_origins(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
 
 
 def generate_rays(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
-                  wavelength, apply_vignetting: bool = True) -> Rays:
+                  wavelength, apply_vignetting: bool = True,
+                  polarized: bool = False) -> Rays:
     """Aim rays at the paraxial entrance pupil and build the starting bundle.
 
     Hx/Hy/Px/Py are same-length 1-D arrays of normalized field and pupil
@@ -113,5 +114,10 @@ def generate_rays(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     M = jnp.where(degenerate, 0.0, dy / mag)
     N = jnp.where(degenerate, 1.0, dz / mag)
 
-    return make_rays(x0, y0, z0, L, M, N, intensity=jnp.ones_like(Px),
+    rays = make_rays(x0, y0, z0, L, M, N, intensity=jnp.ones_like(Px),
                      wavelength=wavelength, dtype=params.cv.dtype)
+    if polarized:
+        from optiland_tpu.polarization.prt import identity_prt
+
+        rays = rays.replace(p=identity_prt(rays.x.shape[0]))
+    return rays

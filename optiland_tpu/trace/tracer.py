@@ -56,6 +56,9 @@ class TraceHistory:
     N: jax.Array
     intensity: jax.Array
     opd: jax.Array
+    # final polarization ray-tracing matrices (N, 3, 3); None for
+    # unpolarized traces
+    p: jax.Array | None = None
 
     @property
     def num_surfaces(self) -> int:
@@ -139,6 +142,88 @@ def _grating_interact(static, params, k, rays: Rays, n1, n2) -> Rays:
                               reflective)
 
 
+def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
+    """Coating + polarization update after the interaction.
+
+    Reference semantics (`interactions/base.py:111-128`, `coatings.py`):
+      - SimpleCoating scales intensity by T (or R on mirrors) and — reference
+        quirk preserved — skips the PRT basis-rotation update;
+      - polarized coatings build a Jones matrix and compose it into the
+        per-ray PRT matrix;
+      - no coating: PRT gets the pure geometric rotation (identity Jones).
+    Unpolarized traces ignore everything except SimpleCoating's intensity
+    scale (RealRays.update() is a no-op in the reference).
+    """
+    from optiland_tpu.polarization import jones as J
+    from optiland_tpu.polarization.prt import surface_prt
+    from optiland_tpu.system.spec import (
+        COAT_DIATTENUATOR,
+        COAT_FRESNEL,
+        COAT_LINEAR_POLARIZER,
+        COAT_NONE,
+        COAT_POLARIZER_H,
+        COAT_POLARIZER_LCP,
+        COAT_POLARIZER_RCP,
+        COAT_POLARIZER_V,
+        COAT_RETARDER,
+        COAT_SIMPLE,
+    )
+
+    coat = static.coatings[k]
+    interaction = static.interactions[k]
+    if interaction == INT_NONE:
+        return rays
+    reflective = interaction == INT_REFLECT
+
+    if coat == COAT_SIMPLE:
+        cp = params.coating_params[k]
+        scale = cp[1] if reflective else cp[0]
+        return rays.replace(i=rays.i * scale)
+
+    if rays.p is None:
+        return rays
+
+    k0 = jnp.stack(k0_dirs, axis=-1)
+    k1 = jnp.stack([rays.L, rays.M, rays.N], axis=-1)
+
+    if coat == COAT_NONE:
+        jm = None
+    elif coat == COAT_FRESNEL:
+        nxv, nyv, nzv = surface_normal(
+            static.geom_codes[k], static.geom_n_coeffs[k], rays.x, rays.y,
+            params.cv[k], params.conic[k], params.coeffs[k],
+            aux=static.geom_aux[k],
+        )
+        dot = jnp.abs(nxv * k0_dirs[0] + nyv * k0_dirs[1] + nzv * k0_dirs[2])
+        aoi = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+        jm = J.fresnel(k0, k1, aoi, n1, n2, reflect=reflective)
+    elif coat == COAT_POLARIZER_H:
+        jm = J.polarizer_h(k0, k1)
+    elif coat == COAT_POLARIZER_V:
+        jm = J.polarizer_v(k0, k1)
+    elif coat == COAT_POLARIZER_RCP:
+        jm = J.polarizer_rcp(k0, k1)
+    elif coat == COAT_POLARIZER_LCP:
+        jm = J.polarizer_lcp(k0, k1)
+    elif coat == COAT_RETARDER:
+        cp = params.coating_params[k]
+        axis = [jnp.cos(cp[1]), jnp.sin(cp[1]), 0.0]
+        jm = J.linear_retarder(k0, k1, cp[0], axis)
+    elif coat == COAT_DIATTENUATOR:
+        cp = params.coating_params[k]
+        axis = [jnp.cos(cp[2]), jnp.sin(cp[2]), 0.0]
+        jm = J.linear_diattenuator(k0, k1, cp[0], cp[1], axis)
+    elif coat == COAT_LINEAR_POLARIZER:
+        cp = params.coating_params[k]
+        axis = [jnp.cos(cp[0]), jnp.sin(cp[0]), 0.0]
+        jm = J.linear_polarizer(k0, k1, axis)
+    else:
+        raise ValueError(f"Unknown coating code {coat}")
+
+    p_surf = surface_prt(k0, k1, jm)
+    return rays.replace(p=jnp.einsum("nij,njk->nik", p_surf, rays.p))
+
+
 def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> TraceHistory:
     """Trace a starting bundle through all surfaces; returns the history.
 
@@ -199,6 +284,8 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
             r2 = rays.x**2 + rays.y**2
             rays = R.clip(rays, r2 > params.ap_radius[k] ** 2)
 
+        k0_dirs = (rays.L, rays.M, rays.N)  # pre-interaction directions
+
         interaction = static.interactions[k]
         if interaction == INT_NONE:
             pass
@@ -224,6 +311,9 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
             )
             rays = R.refract(rays, nx, ny, nz, n_pre, n_of(k, rays.w))
 
+        rays = _apply_coating(static, params, k, rays, k0_dirs, n_pre,
+                              n_of(k, rays.w))
+
         if tilted:
             rays = T.globalize(rays, tx, ty, tz,
                                params.tilt[k, 0], params.tilt[k, 1], params.tilt[k, 2])
@@ -239,13 +329,34 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
         x=stack(lambda r: r.x), y=stack(lambda r: r.y), z=stack(lambda r: r.z),
         L=stack(lambda r: r.L), M=stack(lambda r: r.M), N=stack(lambda r: r.N),
         intensity=stack(lambda r: r.i), opd=stack(lambda r: r.opd),
+        p=rays.p,
     )
 
 
 def trace_system(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
-                 wavelength, apply_vignetting: bool = True) -> TraceHistory:
+                 wavelength, apply_vignetting: bool = True,
+                 polarization=None) -> TraceHistory:
     """Generate + aim + trace in one jittable call (the reference's
-    `RealRayTracer.trace` / `trace_generic`, `raytrace/real_ray_tracer.py:58`)."""
+    `RealRayTracer.trace` / `trace_generic`, `raytrace/real_ray_tracer.py:58`).
+
+    `polarization`: None for a scalar trace, or a PolarizationState (incl.
+    `PolarizationState.unpolarized()`) for a PRT trace — the final intensity
+    row is then computed from the PRT matrices and the state (reference
+    `real_ray_tracer.py:113`), masked by the traced intensity so clipped/TIR
+    rays stay dark."""
     rays0 = generate_rays(static, params, Hx, Hy, Px, Py, wavelength,
-                          apply_vignetting=apply_vignetting)
-    return trace_rays(static, params, rays0)
+                          apply_vignetting=apply_vignetting,
+                          polarized=polarization is not None)
+    hist = trace_rays(static, params, rays0)
+    if polarization is not None:
+        from optiland_tpu.polarization.prt import intensity_from_prt
+
+        k0 = jnp.stack([rays0.L, rays0.M, rays0.N], axis=-1)
+        i_pol = intensity_from_prt(hist.p, k0, rays0.i, polarization)
+        mask = (hist.intensity[-1] > 0).astype(i_pol.dtype)
+        hist = TraceHistory(
+            x=hist.x, y=hist.y, z=hist.z, L=hist.L, M=hist.M, N=hist.N,
+            intensity=hist.intensity.at[-1].set(i_pol * mask),
+            opd=hist.opd, p=hist.p,
+        )
+    return hist
