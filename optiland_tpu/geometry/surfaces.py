@@ -342,44 +342,54 @@ def intersect(code: int, n_coeffs: int, x, y, z, L, M, N, cv, k, coeffs,
     return t, valid
 
 
-def intersect_implicit(code: int, n_coeffs: int, rays_xyzlmn, cv, k, coeffs,
-                       newton_iters: int = 16):
-    """Newton intersection wrapped so the VJP differentiates through the
-    *converged root* via the implicit function theorem instead of unrolling
-    the iteration — fewer FLOPs in backward and exact at convergence.
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def intersect_implicit(code: int, n_coeffs: int, newton_iters: int,
+                       aux: tuple, cv, k, coeffs, x, y, z, L, M, N):
+    """Newton intersection whose VJP differentiates through the *converged
+    root* via the implicit function theorem instead of unrolling the
+    iteration — the backward pass costs one sag_and_grad + one VJP of sag
+    instead of `newton_iters` chained iterations, and is exact at
+    convergence (SURVEY.md §7 "hard parts").
 
     t*(p) solves F(t, p) = sag(x + tL, y + tM; p) - (z + tN) = 0
     => dt/dp = -(dF/dp) / (dF/dt).
     """
-    x, y, z, L, M, N = rays_xyzlmn
+    t, _ = intersect(code, n_coeffs, x, y, z, L, M, N, cv, k, coeffs,
+                     newton_iters, aux)
+    return t
 
-    def root(cv, k, coeffs, x, y, z, L, M, N):
-        t, _ = intersect(code, n_coeffs, x, y, z, L, M, N, cv, k, coeffs,
-                         newton_iters)
-        return t
 
-    @jax.custom_vjp
-    def solve(cv, k, coeffs, x, y, z, L, M, N):
-        return root(cv, k, coeffs, x, y, z, L, M, N)
+def _implicit_fwd(code, n_coeffs, newton_iters, aux, cv, k, coeffs,
+                  x, y, z, L, M, N):
+    t, _ = intersect(code, n_coeffs, x, y, z, L, M, N,
+                     jax.lax.stop_gradient(cv), jax.lax.stop_gradient(k),
+                     jax.lax.stop_gradient(coeffs), newton_iters, aux)
+    t = jax.lax.stop_gradient(t)
+    return t, (cv, k, coeffs, x, y, z, L, M, N, t)
 
-    def fwd(cv, k, coeffs, x, y, z, L, M, N):
-        t = jax.lax.stop_gradient(root(cv, k, coeffs, x, y, z, L, M, N))
-        return t, (cv, k, coeffs, x, y, z, L, M, N, t)
 
-    def bwd(res, g):
-        cv, k, coeffs, x, y, z, L, M, N, t = res
+def _implicit_bwd(code, n_coeffs, newton_iters, aux, res, g):
+    cv, k, coeffs, x, y, z, L, M, N, t = res
 
-        def F(cv, k, coeffs, x, y, z, L, M, N, t):
-            s = sag(code, n_coeffs, x + t * L, y + t * M, cv, k, coeffs)
-            return s - (z + t * N)
+    def F(cv, k, coeffs, x, y, z):
+        return sag(code, n_coeffs, x + t * L, y + t * M, cv, k, coeffs,
+                   aux) - (z + t * N)
 
-        dF_dt = jax.grad(F, argnums=8)
-        # batched: F is elementwise in t, so grads are elementwise too
-        _, vjp = jax.vjp(lambda *p: F(*p, t), cv, k, coeffs, x, y, z, L, M, N)
-        sfull, gx, gy = sag_and_grad(code, n_coeffs, x + t * L, y + t * M, cv, k, coeffs)
-        del sfull, dF_dt
-        ft = gx * L + gy * M - N
-        lam = -g / ft
-        return vjp(lam)
+    _, gx, gy = sag_and_grad(code, n_coeffs, x + t * L, y + t * M, cv, k,
+                             coeffs, aux)
+    ft = gx * L + gy * M - N
+    ft = jnp.where(jnp.abs(ft) > _EPS, ft, _EPS)
+    lam = -g / ft
+    _, vjp = jax.vjp(F, cv, k, coeffs, x, y, z)
+    d_cv, d_k, d_coeffs, d_x, d_y, d_z = vjp(lam)
+    # dF/dL = gx*t, dF/dM = gy*t, dF/dN = -t (direction deps of the root)
+    d_L = lam * gx * t
+    d_M = lam * gy * t
+    d_N = lam * (-t)
+    return d_cv, d_k, d_coeffs, d_x, d_y, d_z, d_L, d_M, d_N
 
-    return solve(cv, k, coeffs, x, y, z, L, M, N)
+
+intersect_implicit.defvjp(_implicit_fwd, _implicit_bwd)

@@ -257,13 +257,33 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
         else:
             rays = T.translate_z(rays, tz)
 
-        # intersect + propagate
-        t, valid = intersect(
-            static.geom_codes[k], static.geom_n_coeffs[k],
-            rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
-            params.cv[k], params.conic[k], params.coeffs[k],
-            newton_iters=static.newton_iters, aux=static.geom_aux[k],
+        # intersect + propagate; Newton-refined geometries use the
+        # implicit-function-theorem VJP (backward differentiates the
+        # converged root, not the iteration chain)
+        from optiland_tpu.geometry.surfaces import (
+            _CLOSED_FORM,
+            _conic_intersect,
+            intersect_implicit,
         )
+
+        code = static.geom_codes[k]
+        if code in _CLOSED_FORM or static.geom_n_coeffs[k] == 0:
+            t, valid = intersect(
+                code, static.geom_n_coeffs[k],
+                rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
+                params.cv[k], params.conic[k], params.coeffs[k],
+                newton_iters=static.newton_iters, aux=static.geom_aux[k],
+            )
+        else:
+            t = intersect_implicit(
+                code, static.geom_n_coeffs[k], static.newton_iters,
+                static.geom_aux[k], params.cv[k], params.conic[k],
+                params.coeffs[k], rays.x, rays.y, rays.z,
+                rays.L, rays.M, rays.N,
+            )
+            _, valid = _conic_intersect(rays.x, rays.y, rays.z, rays.L,
+                                        rays.M, rays.N, params.cv[k],
+                                        params.conic[k])
         n_pre = n_of(k - 1, rays.w)
         rays = R.propagate(rays, t)
         new_i = jnp.where(valid, rays.i, jnp.zeros_like(rays.i))
