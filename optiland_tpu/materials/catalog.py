@@ -47,6 +47,27 @@ class MaterialSpec:
 
 
 AIR = MaterialSpec(formula=FORMULA_IDEAL, coefficients=(1.0,), name="air")
+
+
+def abbe_material(index: float, abbe: float) -> MaterialSpec:
+    """Material from (n_d, V_d) via the polynomial glass model
+    (reference `materials/abbe.py:38-82`; fitted Schott-catalog
+    coefficients bundled as public data)."""
+    import numpy as np
+
+    from optiland_tpu.materials.dispersion import FORMULA_POLYVAL
+
+    C = np.load(
+        Path(__file__).resolve().parent.parent
+        / "data" / "glass_model_coefficients.npy"
+    )
+    X = np.array([index, abbe, index**2, abbe**2, index**3, abbe**3])
+    p = X @ C
+    return MaterialSpec(
+        formula=FORMULA_POLYVAL,
+        coefficients=tuple(float(v) for v in p),
+        name=f"abbe({index:.4f},{abbe:.2f})",
+    )
 MIRROR = MaterialSpec(formula=FORMULA_IDEAL, coefficients=(1.0,), name="mirror",
                       mirror=True)
 

@@ -29,6 +29,7 @@ FORMULA_HERZBERGER = 7
 FORMULA_RETRO = 8
 FORMULA_EXOTIC = 9
 FORMULA_TABULATED = 10
+FORMULA_POLYVAL = 11  # n = polyval(coeffs, w), highest power first (Abbe model)
 
 # Padded coefficient-vector width used by SurfaceStack parameter arrays.
 MAX_COEFFS = 17
@@ -130,6 +131,13 @@ def material_index(formula: int, n_coeffs: int, coeffs, w):
         return _retro(c, w)
     if formula == FORMULA_EXOTIC:
         return _exotic(c, w)
+    if formula == FORMULA_POLYVAL:
+        # Horner evaluation, highest-degree coefficient first (the Abbe
+        # polynomial model, reference `materials/abbe.py:38-82`)
+        n = c[0] + 0.0 * w
+        for k in range(1, n_coeffs):
+            n = n * w + c[k]
+        return n
     raise ValueError(f"Unknown dispersion formula code {formula}")
 
 

@@ -93,7 +93,9 @@ def magnification(static, params):
 
 def total_track(static, params):
     """Vertex distance from first surface to image plane."""
-    pos = params.positions()
+    from optiland_tpu.system.spec import positions_of
+
+    pos = positions_of(static, params)
     return pos[-1] - pos[1]
 
 

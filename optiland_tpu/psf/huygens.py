@@ -227,7 +227,9 @@ class HuygensPSF:
         self.pixel_pitch = 2.0 * extent / image_size
         gx = jnp.linspace(-1.0, 1.0, image_size) * extent
         IX, IY = jnp.meshgrid(gx + cx, gx + cy)
-        pos = params.positions()
+        from optiland_tpu.system.spec import positions_of
+
+        pos = positions_of(static, params)
         IZ = jnp.full_like(IX, pos[-1])
         self.cx, self.cy = cx, cy
 

@@ -208,6 +208,10 @@ class Optic:
         self.polarization = "ignore"  # "ignore" | PolarizationState
         self._built = None
         self.paraxial = _ParaxialFacade(self)
+        from optiland_tpu.system.solves import PickupManager, SolveManager
+
+        self.pickups = PickupManager(self)
+        self.solves = SolveManager(self)
 
     # -- builder API -------------------------------------------------------
     def _dirty(self):
@@ -293,6 +297,11 @@ class Optic:
         step) without touching the structure."""
         static, _ = self.build()
         self._built = (static, params)
+
+    def update(self):
+        """Re-apply pickups and solves (reference `Optic.update`)."""
+        self.pickups.apply()
+        self.solves.apply()
 
     # -- tracing ---------------------------------------------------------
     def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,

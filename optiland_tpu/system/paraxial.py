@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from optiland_tpu.materials.dispersion import material_index
-from optiland_tpu.system.spec import INT_REFLECT, INT_THIN_LENS, SystemParams, SystemStatic
+from optiland_tpu.system.spec import (INT_REFLECT, INT_THIN_LENS, SystemParams, SystemStatic, positions_of)
 
 
 def index_table(static: SystemStatic, params: SystemParams, wavelength):
@@ -46,7 +46,7 @@ def trace_generic(static: SystemStatic, params: SystemParams, y, u, z,
     z_ = jnp.asarray(z, params.cv.dtype)
 
     cv = params.cv
-    pos = params.positions()
+    pos = positions_of(static, params)
     n = index_table(static, params, wavelength)
     interactions = list(static.interactions)
     f_thin = params.focal_length
@@ -99,7 +99,7 @@ def f1(static, params, wavelength=None):
 def f2(static, params, wavelength=None):
     """Back (effective) focal length (reference `paraxial.py:74-86`)."""
     w = _primary(static, params) if wavelength is None else wavelength
-    pos = params.positions()
+    pos = positions_of(static, params)
     y, u = trace_generic(static, params, 1.0, 0.0, pos[1] - 1.0, w)
     return -y[0] / u[-1]
 
@@ -112,7 +112,7 @@ def F1(static, params, wavelength=None):
 
 def F2(static, params, wavelength=None):
     w = _primary(static, params) if wavelength is None else wavelength
-    pos = params.positions()
+    pos = positions_of(static, params)
     y, u = trace_generic(static, params, 1.0, 0.0, pos[1] - 1.0, w)
     return -y[-1] / u[-1]
 
@@ -135,7 +135,7 @@ def N2(static, params):
 
 def EPL(static: SystemStatic, params: SystemParams, wavelength=None):
     """Entrance pupil z location (reference `paraxial.py:206-229`)."""
-    pos = params.positions()
+    pos = positions_of(static, params)
     if static.stop_index == 1:
         return pos[1]
     w = _primary(static, params) if wavelength is None else wavelength
@@ -150,7 +150,7 @@ def XPL(static: SystemStatic, params: SystemParams, wavelength=None):
     """Exit pupil location relative to the image surface
     (reference `paraxial.py:244-256`)."""
     w = _primary(static, params) if wavelength is None else wavelength
-    pos = params.positions()
+    pos = positions_of(static, params)
     stop = static.stop_index
     y, u = trace_generic(static, params, 0.0, 0.1, pos[stop], w, skip=stop + 1)
     return -y[-1] / u[-1]
@@ -167,13 +167,13 @@ def EPD(static: SystemStatic, params: SystemParams, wavelength=None):
     if ap == "imageFNO":
         return f2(static, params, w) / value
     if ap == "objectNA":
-        pos = params.positions()
+        pos = positions_of(static, params)
         n0 = index_table(static, params, w)[0]
         u0 = jnp.arcsin(value / n0)
         z = EPL(static, params, w) - pos[0]
         return 2.0 * z * jnp.tan(u0)
     if ap == "float_by_stop":
-        pos = params.positions()
+        pos = positions_of(static, params)
         stop = static.stop_index
         if static.object_infinite:
             y, _ = trace_generic(static, params, 1.0, 0.0, -1.0, w)
@@ -201,7 +201,7 @@ def marginal_ray(static: SystemStatic, params: SystemParams, wavelength=None):
     """Axial ray through the stop edge (reference `paraxial.py:316-345`)."""
     w = _primary(static, params) if wavelength is None else wavelength
     epd = EPD(static, params, w)
-    pos = params.positions()
+    pos = positions_of(static, params)
     if static.object_infinite:
         ya, ua, obj_z = epd / 2.0, 0.0, pos[1] - 10.0
     else:
@@ -214,7 +214,7 @@ def marginal_ray(static: SystemStatic, params: SystemParams, wavelength=None):
 def chief_ray(static: SystemStatic, params: SystemParams, wavelength=None):
     """Full-field ray through the stop center (reference `paraxial.py:347-410`)."""
     w = _primary(static, params) if wavelength is None else wavelength
-    pos = params.positions()
+    pos = positions_of(static, params)
     stop = static.stop_index
     S = static.num_surfaces
 

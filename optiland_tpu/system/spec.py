@@ -104,6 +104,7 @@ class SurfaceSpec:
     ry: float = 0.0
     rz: float = 0.0
     focal_length: float = 0.0  # thin-lens surfaces only
+    abs_cs: tuple | None = None  # absolute (x, y, z, rx, ry, rz) placement
     coating: object = None  # None | name str | (kind, *params) tuple
     geom_params: dict = field(default_factory=dict)
     comment: str = ""
@@ -128,6 +129,7 @@ class SystemStatic:
     has_aperture: tuple[bool, ...]
     stop_index: int
     object_infinite: bool
+    has_abs_cs: bool  # surfaces placed by absolute CS (fold-mirror chains)
     field_type: str  # "angle" | "object_height"
     aperture_type: str  # "EPD" | "imageFNO" | "objectNA" | "float_by_stop"
     num_fields: int
@@ -164,6 +166,7 @@ class SystemParams:
     ap_radius: jax.Array  # (S,) physical semi-aperture (inf = open)
     grating: jax.Array  # (S, 3): diffraction order m, period d (um), groove angle
     coating_params: jax.Array  # (S, 4) per-coating parameter slots
+    cs_pos: jax.Array  # (S, 3) absolute surface positions (abs-CS systems)
     aperture_value: jax.Array  # system aperture scalar
     x_fields: jax.Array  # (F,)
     y_fields: jax.Array
@@ -187,6 +190,14 @@ class SystemParams:
 
     def replace(self, **kw) -> "SystemParams":
         return replace(self, **kw)
+
+
+def positions_of(static, params) -> jax.Array:
+    """Vertex z positions: thickness cumsum (differentiable) for on-axis
+    chains, or the stored absolute CS z for folded systems."""
+    if static.has_abs_cs:
+        return params.cs_pos[:, 2]
+    return params.positions()
 
 
 MAX_GEOM_COEFFS = 17
@@ -296,6 +307,8 @@ def build_system(
     ap_radius = np.full(S, np.inf)
     grating = np.zeros((S, 3))
     coating_params = np.zeros((S, 4))
+    cs_pos = np.zeros((S, 3))
+    has_abs_cs = any(s.abs_cs is not None for s in surfaces)
 
     # propagate mirror semantics: a "mirror" material keeps the incident medium
     current_medium = AIR
@@ -339,7 +352,13 @@ def build_system(
             k_wl[idx, nk:] = kt[0][-1]
             k_val[idx, nk:] = kt[1][-1]
 
-        has_tilt.append(bool(s.rx or s.ry or s.rz))
+        if s.abs_cs is not None:
+            ax_, ay_, az_, arx, ary, arz = s.abs_cs
+            cs_pos[idx] = (ax_, ay_, az_)
+            tilt[idx] = (arx, ary, arz)
+            has_tilt.append(bool(arx or ary or arz or ax_ or ay_))
+        else:
+            has_tilt.append(bool(s.rx or s.ry or s.rz))
         has_decenter.append(bool(s.dx or s.dy))
         has_aperture.append(s.semi_aperture is not None)
 
@@ -365,7 +384,8 @@ def build_system(
         if packed_coeffs:
             coeffs[idx, : len(packed_coeffs)] = packed_coeffs
         thickness[idx] = s.thickness
-        tilt[idx] = (s.rx, s.ry, s.rz)
+        if s.abs_cs is None:
+            tilt[idx] = (s.rx, s.ry, s.rz)
         decenter[idx] = (s.dx, s.dy)
         focal_length[idx] = s.focal_length
         if s.semi_aperture is not None:
@@ -374,6 +394,18 @@ def build_system(
     object_infinite = not np.isfinite(surfaces[0].thickness)
     if object_infinite:
         thickness[0] = np.inf
+    if has_abs_cs:
+        # fill non-abs surfaces' cs z from the thickness chain
+        z = 0.0
+        for idx, s in enumerate(surfaces):
+            if idx == 0:
+                cs_pos[idx, 2] = -thickness[0]
+                continue
+            if s.abs_cs is None:
+                cs_pos[idx, 2] = z
+            else:
+                z = cs_pos[idx, 2]
+            z += thickness[idx] if np.isfinite(thickness[idx]) else 0.0
 
     static = SystemStatic(
         num_surfaces=S,
@@ -391,6 +423,7 @@ def build_system(
         has_aperture=tuple(has_aperture),
         stop_index=stop_index,
         object_infinite=object_infinite,
+        has_abs_cs=has_abs_cs,
         field_type=field_type,
         aperture_type=aperture_type,
         num_fields=len(x_fields),
@@ -412,6 +445,7 @@ def build_system(
         ap_radius=jnp.asarray(ap_radius, dtype),
         grating=jnp.asarray(grating, dtype),
         coating_params=jnp.asarray(coating_params, dtype),
+        cs_pos=jnp.asarray(cs_pos, dtype),
         aperture_value=jnp.asarray(aperture_value, dtype),
         x_fields=jnp.asarray(np.asarray(x_fields, float), dtype),
         y_fields=jnp.asarray(np.asarray(y_fields, float), dtype),

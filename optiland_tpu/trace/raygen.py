@@ -38,7 +38,8 @@ def vignetting_factors(static: SystemStatic, params: SystemParams, Hx, Hy):
 def _ray_origins(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
                  vx, vy, epl, epd):
     """Starting positions by field type (reference field_types/*.py)."""
-    pos = params.positions()
+    from optiland_tpu.system.spec import positions_of
+    pos = positions_of(static, params)
     max_field = jnp.max(jnp.sqrt(params.x_fields**2 + params.y_fields**2))
     field_x = max_field * Hx
     field_y = max_field * Hy

@@ -38,6 +38,7 @@ from optiland_tpu.system.spec import (
     INT_THIN_LENS,
     SystemParams,
     SystemStatic,
+    positions_of,
 )
 from optiland_tpu.trace.raygen import generate_rays
 
@@ -231,7 +232,7 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
     at the object surface as they are generated).
     """
     S = static.num_surfaces
-    pos = params.positions()
+    pos = positions_of(static, params)
 
     # refractive index of the medium before surface k = material after k-1
     def n_of(k, w):
@@ -243,8 +244,12 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
     records = [rays0]
 
     for k in range(1, S):
-        tx = params.decenter[k, 0]
-        ty = params.decenter[k, 1]
+        if static.has_abs_cs:
+            tx = params.cs_pos[k, 0]
+            ty = params.cs_pos[k, 1]
+        else:
+            tx = params.decenter[k, 0]
+            ty = params.decenter[k, 1]
         tz = pos[k]
         tilted = static.has_tilt[k]
         decentered = static.has_decenter[k]

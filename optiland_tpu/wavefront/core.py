@@ -84,7 +84,8 @@ def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     Fully jittable; `jax.vmap` over fields/wavelengths batches it.
     """
     n_img = px.index_table(static, params, wavelength)[-1]
-    pos = params.positions()
+    from optiland_tpu.system.spec import positions_of
+    pos = positions_of(static, params)
     pupil_z = px.XPL(static, params) + pos[-1]
     epd = px.EPD(static, params)
 

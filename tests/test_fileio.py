@@ -1,0 +1,145 @@
+"""File I/O: Zemax import parity vs the reference loader, optiland JSON
+round trips (ours and cross-framework), solves/pickups."""
+
+import math
+
+import numpy as np
+import pytest
+
+import optiland_tpu  # noqa: F401
+from optiland_tpu.fileio import (
+    load_optiland_file,
+    load_zemax_file,
+    optic_from_dict,
+    save_optiland_file,
+)
+
+ZMX_DIR = "/root/reference/tests/zemax_files"
+
+
+@pytest.mark.parametrize("fname", ["lens1.zmx", "lens2.zmx"])
+def test_zemax_import_matches_reference(fname, reference):
+    from optiland.fileio import load_zemax_file as ref_load
+
+    ref = ref_load(f"{ZMX_DIR}/{fname}")
+    got = load_zemax_file(f"{ZMX_DIR}/{fname}")
+
+    # prescription parity
+    assert len(got.surfaces) == ref.surfaces.num_surfaces
+    ref_radii = np.asarray(ref.surfaces.radii, float)
+    got_radii = np.asarray([s.radius for s in got.surfaces.specs])
+    np.testing.assert_allclose(
+        np.where(np.isinf(got_radii), 0, got_radii),
+        np.where(np.isinf(ref_radii), 0, ref_radii), rtol=1e-9,
+    )
+
+    # first-order parity
+    np.testing.assert_allclose(float(got.paraxial.f2()),
+                               float(np.asarray(ref.paraxial.f2())),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(got.paraxial.EPD()),
+                               float(np.asarray(ref.paraxial.EPD())),
+                               rtol=1e-9)
+
+    # real-trace parity on axis
+    ref.trace(Hx=0, Hy=0, wavelength=got.primary_wavelength, num_rays=4,
+              distribution="hexapolar")
+    ref_y = np.asarray(ref.surfaces.y[-1])
+    hist = got.trace(Hx=0, Hy=0, num_rays=4)
+    np.testing.assert_allclose(np.asarray(hist.y[-1]), ref_y, atol=1e-9)
+
+
+@pytest.mark.parametrize("fname", ["one_mirror_up_45deg.zmx",
+                                   "simple_fold_mirror_up.zmx"])
+def test_zemax_import_fold_mirror_trace_parity(fname, reference):
+    """Folded (coordinate-break) systems: full global-frame ray parity."""
+    from optiland.fileio import load_zemax_file as ref_load
+
+    ref = ref_load(f"{ZMX_DIR}/{fname}")
+    got = load_zemax_file(f"{ZMX_DIR}/{fname}")
+    assert len(got.surfaces) == ref.surfaces.num_surfaces
+
+    w = float(np.asarray(ref.wavelengths.primary_wavelength.value))
+    ref.trace(Hx=0, Hy=0, wavelength=w, num_rays=3, distribution="hexapolar")
+    hist = got.trace(Hx=0, Hy=0, num_rays=3)
+    for rv, gv in [(ref.surfaces.x[-1], hist.x[-1]),
+                   (ref.surfaces.y[-1], hist.y[-1]),
+                   (ref.surfaces.z[-1], hist.z[-1])]:
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), atol=1e-9)
+
+
+def test_optiland_json_roundtrip(tmp_path):
+    from optiland_tpu.models import CookeTriplet
+
+    lens = CookeTriplet()
+    path = tmp_path / "cooke.json"
+    save_optiland_file(lens, str(path))
+    lens2 = load_optiland_file(str(path))
+    np.testing.assert_allclose(float(lens2.paraxial.f2()),
+                               float(lens.paraxial.f2()), rtol=1e-12)
+    h1 = lens.trace(Hx=0, Hy=1, num_rays=4)
+    h2 = lens2.trace(Hx=0, Hy=1, num_rays=4)
+    np.testing.assert_allclose(np.asarray(h2.y[-1]), np.asarray(h1.y[-1]),
+                               rtol=1e-12)
+
+
+def test_load_reference_exported_json(reference, tmp_path):
+    """Cross-framework: load a JSON written by the REFERENCE."""
+    from optiland.fileio import save_optiland_file as ref_save
+    from optiland.samples.objectives import CookeTriplet as RefCooke
+
+    ref = RefCooke()
+    path = tmp_path / "ref_cooke.json"
+    ref_save(ref, str(path))
+    got = optic_from_dict(__import__("json").load(open(path)))
+    np.testing.assert_allclose(float(got.paraxial.f2()),
+                               float(np.asarray(ref.paraxial.f2())),
+                               rtol=1e-8)
+
+
+def test_quick_focus_solve():
+    from optiland_tpu.models import CookeTriplet
+
+    lens = CookeTriplet()
+    # defocus the image plane, then quick_focus should restore small spots
+    lens.surfaces.specs[-2].thickness += 3.0
+    lens._dirty()
+    from optiland_tpu.analysis import SpotDiagram
+
+    rms_bad = float(np.asarray(SpotDiagram(lens).rms_spot_radius())[0, 1])
+    lens.solves.add("quick_focus")
+    rms_good = float(np.asarray(SpotDiagram(lens).rms_spot_radius())[0, 1])
+    assert rms_good < rms_bad / 5
+
+
+def test_marginal_ray_height_solve():
+    from optiland_tpu.models import CookeTriplet
+
+    lens = CookeTriplet()
+    lens.solves.add("marginal_ray_height", 7, 0.0)  # image at paraxial focus
+    y, _ = lens.paraxial.marginal_ray()
+    np.testing.assert_allclose(float(np.asarray(y).ravel()[-1]), 0.0,
+                               atol=1e-9)
+
+
+def test_pickup_links_radius():
+    from optiland_tpu.models import CookeTriplet
+
+    lens = CookeTriplet()
+    lens.pickups.add(1, "radius", 5, scale=2.0)
+    assert lens.surfaces.specs[5].radius == pytest.approx(
+        2.0 * lens.surfaces.specs[1].radius
+    )
+    # re-applies on update()
+    lens.surfaces.specs[1].radius = 25.0
+    lens.update()
+    assert lens.surfaces.specs[5].radius == pytest.approx(50.0)
+
+
+def test_zemax_grating_file_loads():
+    got = load_zemax_file(f"{ZMX_DIR}/flat_transmission_grating.zmx")
+    h = got.trace(num_rays=3)
+    assert np.all(np.isfinite(np.asarray(h.y[-1])))
+
+
+_ = math

@@ -20,9 +20,9 @@ NAMES = [
     "J-LLF2", "K10", "L-BSL7", "LAC9", "LITHOTEC-CAF2", "M-TAF1", "N-BAK1",
     "N-BAK2", "N-BASF2", "N-BK7", "N-F2", "N-FK51", "N-K5", "N-KZFS4",
     "N-LAF32", "N-LAF33", "N-LAK12", "N-LAK21", "N-LAK7", "N-LAK9", "N-PSK3",
-    "N-SF11", "N-SK10", "N-SK11", "N-SK15", "N-SK16", "N-SK2", "N-SK4",
+    "N-SF2", "S-LAH64", "N-SF11", "N-SK10", "N-SK11", "N-SK15", "N-SK16", "N-SK2", "N-SK4",
     "N-SK5", "N-SSK2", "N-ZK7", "Q-LAFPH1S", "S-FSL5", "S-LAL18", "SF1",
-    "SF4", "SK15", "SK16", "BK7", "N-SF5", "N-SF8", "N-SF10", "N-SF57",
+    "SF4", "SK15", "SK16", "BK7", "N-SF5", "N-SF6", "N-SF8", "N-SF10", "N-SF57", "N-SF66", "N-LAF2", "N-LAF7", "N-BAF10", "N-BAF52", "N-SSK5", "N-PK52A", "N-BK10", "N-KF9", "N-LASF31A", "N-PSK53A", "N-SK14", "LAFN7", "L-BAL35",
     "N-LASF44", "N-LAK34", "SF11", "SF5", "LAK9", "LLF1", "PK51A", "BAF10",
     "BAK1", "FK51A", "LASF9", "SSK4", "F5",
     ("CAF2", "Daimon-20"), ("F2", "schott"), ("F5", "schott"),
