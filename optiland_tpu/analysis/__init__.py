@@ -8,6 +8,14 @@ from optiland_tpu.analysis.rms_vs_field import (
 )
 from optiland_tpu.analysis.encircled_energy import EncircledEnergy
 from optiland_tpu.analysis.y_ybar import YYbar
+from optiland_tpu.analysis.through_focus import (
+    ThroughFocusMTF,
+    ThroughFocusSpotDiagram,
+)
+from optiland_tpu.analysis.pupil_aberration import AngleVsHeight, PupilAberration
+from optiland_tpu.analysis.irradiance import IncoherentIrradiance
+from optiland_tpu.analysis.jones_pupil import JonesPupil
+from optiland_tpu.analysis.mtf_vs_field import MTFvsField
 
 __all__ = [
     "SpotDiagram",
@@ -19,4 +27,11 @@ __all__ = [
     "RmsWavefrontErrorVsField",
     "EncircledEnergy",
     "YYbar",
+    "ThroughFocusSpotDiagram",
+    "ThroughFocusMTF",
+    "PupilAberration",
+    "AngleVsHeight",
+    "IncoherentIrradiance",
+    "JonesPupil",
+    "MTFvsField",
 ]
