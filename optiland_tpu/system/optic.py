@@ -206,6 +206,7 @@ class Optic:
         self.aperture_type: str | None = None
         self.aperture_value: float = 0.0
         self.polarization = "ignore"  # "ignore" | PolarizationState
+        self.apodization = None
         self._built = None
         self.paraxial = _ParaxialFacade(self)
         from optiland_tpu.system.solves import PickupManager, SolveManager
@@ -229,6 +230,14 @@ class Optic:
 
     def set_field_type(self, field_type: str):
         self.fields.set_type(field_type)
+
+    def set_apodization(self, spec):
+        """Set pupil apodization: name, (name, kwargs), or instance
+        (reference `optiland/apodization/`)."""
+        from optiland_tpu.core.apodization import make_apodization
+
+        self.apodization = make_apodization(spec)
+        self._dirty()
 
     def set_polarization(self, state):
         """Set the trace polarization: "ignore" (scalar trace) or a
@@ -281,6 +290,7 @@ class Optic:
                 aperture_value=self.aperture_value,
                 wavelengths=self.wavelengths.values_um,
                 primary_wavelength_idx=self.wavelengths.primary_idx,
+                apodization=self.apodization,
             )
         return self._built
 
@@ -302,6 +312,29 @@ class Optic:
         """Re-apply pickups and solves (reference `Optic.update`)."""
         self.pickups.apply()
         self.solves.apply()
+
+    # -- convenience views (reference `Optic.draw/info`) --------------------
+    def draw(self, **kwargs):
+        from optiland_tpu.visualization import OpticViewer
+
+        return OpticViewer(self).view(**kwargs)
+
+    def info(self):
+        from optiland_tpu.visualization import LensInfoViewer
+
+        return LensInfoViewer(self).view()
+
+    # -- serialization ----------------------------------------------------
+    def to_dict(self):
+        from optiland_tpu.fileio import optic_to_dict
+
+        return optic_to_dict(self)
+
+    @classmethod
+    def from_dict(cls, data):
+        from optiland_tpu.fileio import optic_from_dict
+
+        return optic_from_dict(data)
 
     # -- tracing ---------------------------------------------------------
     def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,

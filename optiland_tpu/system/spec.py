@@ -135,6 +135,7 @@ class SystemStatic:
     num_fields: int
     num_wavelengths: int
     primary_wavelength_idx: int
+    apodization: object = None  # BaseApodization (hashable) or None=uniform
     newton_iters: int = 16
 
     @property
@@ -263,6 +264,7 @@ def build_system(
     aperture_value: float,
     wavelengths,
     primary_wavelength_idx: int,
+    apodization=None,
     newton_iters: int = 16,
     dtype=None,
 ) -> tuple[SystemStatic, SystemParams]:
@@ -429,6 +431,7 @@ def build_system(
         num_fields=len(x_fields),
         num_wavelengths=len(wavelengths),
         primary_wavelength_idx=primary_wavelength_idx,
+        apodization=apodization,
         newton_iters=newton_iters,
     )
     params = SystemParams(

@@ -115,7 +115,11 @@ def generate_rays(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     M = jnp.where(degenerate, 0.0, dy / mag)
     N = jnp.where(degenerate, 1.0, dz / mag)
 
-    rays = make_rays(x0, y0, z0, L, M, N, intensity=jnp.ones_like(Px),
+    if static.apodization is not None:
+        intensity = static.apodization.get_intensity(Px, Py)
+    else:
+        intensity = jnp.ones_like(Px)
+    rays = make_rays(x0, y0, z0, L, M, N, intensity=intensity,
                      wavelength=wavelength, dtype=params.cv.dtype)
     if polarized:
         from optiland_tpu.polarization.prt import identity_prt

@@ -10,7 +10,6 @@ import jax.numpy as jnp
 from bench import build_bench_system
 from optiland_tpu.system import paraxial as px
 from optiland_tpu.trace.raygen import generate_rays, vignetting_factors
-from optiland_tpu.trace import tracer
 
 
 def timeit(fn, *args, iters=20):
@@ -71,7 +70,6 @@ def main():
     t = timeit(jax.jit(one_surface), params, rays0)
     print(f"single conic surface step: {t*1e3:.3f} ms")
 
-    del make_rays, tracer
 
 
 if __name__ == "__main__":
