@@ -1,26 +1,5 @@
-"""Shared analysis plumbing: field/wavelength resolution.
+"""Shared analysis plumbing (re-exports; see `core/resolve.py`)."""
 
-Counterpart of the reference's `BaseAnalysis` (`analysis/base.py:20-61`),
-reduced to helpers — analyses here are thin hosts over jitted functions, so
-there is no data-generation lifecycle to inherit.
-"""
+from optiland_tpu.core.resolve import resolve_fields, resolve_wavelengths
 
-from __future__ import annotations
-
-import numpy as np
-
-
-def resolve_fields(optic, fields):
-    """Normalize a fields argument to a list of (Hx, Hy) coordinates."""
-    if fields == "all":
-        return optic.fields.get_field_coords()
-    return [tuple(f) for f in fields]
-
-
-def resolve_wavelengths(optic, wavelengths):
-    """Normalize a wavelengths argument to a list of values in um."""
-    if wavelengths == "all":
-        return list(optic.wavelengths.values_um)
-    if wavelengths == "primary":
-        return [optic.primary_wavelength]
-    return [float(w) for w in np.atleast_1d(wavelengths)]
+__all__ = ["resolve_fields", "resolve_wavelengths"]

@@ -9,13 +9,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from optiland_tpu.core import distributions as dist
-from optiland_tpu.mtf.geometric import _lsf_mtf
 
 
 class MTFvsField:
     def __init__(self, optic, freqs=(10.0, 30.0), num_fields: int = 16,
                  wavelength="primary", num_rays: int = 64,
                  distribution: str = "uniform"):
+        from optiland_tpu.mtf.geometric import _lsf_mtf
+
         if wavelength == "primary":
             wavelength = optic.primary_wavelength
         self.optic = optic

@@ -7,7 +7,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from optiland_tpu.analysis.base import resolve_fields
+from optiland_tpu.core.resolve import resolve_fields
 from optiland_tpu.psf.fft import FFTPSF, calculate_grid_size
 from optiland_tpu.system import paraxial as px
 

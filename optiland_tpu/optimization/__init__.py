@@ -8,6 +8,7 @@ from optiland_tpu.optimization.optimizers import (
     AdamOptimizer,
     SGDOptimizer,
 )
+from optiland_tpu.optimization.glass_expert import GlassExpert
 from optiland_tpu.optimization import operands, variables
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "BasinHopping",
     "AdamOptimizer",
     "SGDOptimizer",
+    "GlassExpert",
     "operands",
     "variables",
 ]

@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from optiland_tpu.analysis.base import resolve_wavelengths
+from optiland_tpu.core.resolve import resolve_wavelengths
 from optiland_tpu.core import distributions as dist
 from optiland_tpu.system import paraxial as px
 from optiland_tpu.wavefront.core import wavefront_data

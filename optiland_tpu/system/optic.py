@@ -207,6 +207,7 @@ class Optic:
         self.aperture_value: float = 0.0
         self.polarization = "ignore"  # "ignore" | PolarizationState
         self.apodization = None
+        self.ray_aiming = "paraxial"  # "paraxial" | "iterative" | "robust"
         self._built = None
         self.paraxial = _ParaxialFacade(self)
         from optiland_tpu.system.solves import PickupManager, SolveManager
@@ -238,6 +239,23 @@ class Optic:
 
         self.apodization = make_apodization(spec)
         self._dirty()
+
+    def set_ray_aiming(self, mode: str):
+        """Choose the ray-aiming strategy (reference
+        `rays/ray_aiming/registry.py`)."""
+        if mode not in ("paraxial", "iterative", "robust"):
+            raise ValueError("ray aiming must be paraxial, iterative, or robust")
+        self.ray_aiming = mode
+
+    def _aim(self, static, params, Hx, Hy, Px, Py, wavelength):
+        if self.ray_aiming == "paraxial":
+            return Px, Py
+        from optiland_tpu.trace import aiming
+
+        fn = (aiming.aim_rays_iterative if self.ray_aiming == "iterative"
+              else aiming.aim_rays_robust)
+        return fn(static, params, Hx, Hy, Px, Py,
+                  jnp.asarray(wavelength, params.cv.dtype))
 
     def set_polarization(self, state):
         """Set the trace polarization: "ignore" (scalar trace) or a
@@ -357,6 +375,8 @@ class Optic:
         Hy_full = jnp.repeat(Hy, nP)
         Px_full = jnp.tile(Px, Hx.shape[0])
         Py_full = jnp.tile(Py, Hx.shape[0])
+        Px_full, Py_full = self._aim(static, params, Hx_full, Hy_full,
+                                     Px_full, Py_full, wavelength)
         return _jit_trace(static, self._pol())(
             params, Hx_full, Hy_full, Px_full, Py_full,
             jnp.asarray(wavelength, params.cv.dtype), True
@@ -379,6 +399,7 @@ class Optic:
         vxf, vyf = vignetting_factors(static, params, Hx, Hy)
         Px = Px * (1.0 - vxf)
         Py = Py * (1.0 - vyf)
+        Px, Py = self._aim(static, params, Hx, Hy, Px, Py, wavelength)
         return _jit_trace(static, self._pol())(
             params, Hx, Hy, Px, Py, jnp.asarray(wavelength, params.cv.dtype), True
         )

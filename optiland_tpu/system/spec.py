@@ -106,6 +106,7 @@ class SurfaceSpec:
     focal_length: float = 0.0  # thin-lens surfaces only
     abs_cs: tuple | None = None  # absolute (x, y, z, rx, ry, rz) placement
     coating: object = None  # None | name str | (kind, *params) tuple
+    bsdf: object = None  # None | LambertianBSDF | GaussianBSDF
     geom_params: dict = field(default_factory=dict)
     comment: str = ""
 
@@ -120,6 +121,7 @@ class SystemStatic:
     interactions: tuple[int, ...]
     is_reflective: tuple[bool, ...]  # mirror-material surfaces
     coatings: tuple[int, ...]  # COAT_* codes per surface
+    bsdfs: tuple  # per-surface BSDF objects (hashable) or None
     geom_aux: tuple[tuple, ...]  # static per-surface geometry ints
     mat_formulas: tuple[int, ...]  # material after each surface
     mat_n_coeffs: tuple[int, ...]
@@ -283,6 +285,7 @@ def build_system(
     interactions = []
     is_reflective = []
     coatings = []
+    bsdfs = []
     mat_formulas = []
     mat_n_coeffs = []
     has_absorption = []
@@ -364,6 +367,7 @@ def build_system(
         has_decenter.append(bool(s.dx or s.dy))
         has_aperture.append(s.semi_aperture is not None)
 
+        bsdfs.append(s.bsdf)
         coat = s.coating
         if coat is None or isinstance(coat, str):
             coatings.append(_COATING_BY_NAME[coat])
@@ -417,6 +421,7 @@ def build_system(
         interactions=tuple(interactions),
         is_reflective=tuple(is_reflective),
         coatings=tuple(coatings),
+        bsdfs=tuple(bsdfs),
         mat_formulas=tuple(mat_formulas),
         mat_n_coeffs=tuple(mat_n_coeffs),
         has_absorption=tuple(has_absorption),

@@ -225,7 +225,8 @@ def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
     return rays.replace(p=jnp.einsum("nij,njk->nik", p_surf, rays.p))
 
 
-def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> TraceHistory:
+def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
+               scatter_key=None) -> TraceHistory:
     """Trace a starting bundle through all surfaces; returns the history.
 
     Row 0 of the history is the starting bundle (the reference records rays
@@ -233,6 +234,8 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
     """
     S = static.num_surfaces
     pos = positions_of(static, params)
+    if scatter_key is None and any(b is not None for b in static.bsdfs):
+        scatter_key = jax.random.PRNGKey(0)
 
     # refractive index of the medium before surface k = material after k-1
     def n_of(k, w):
@@ -335,6 +338,21 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays) -> Trace
                 aux=static.geom_aux[k],
             )
             rays = R.refract(rays, nx, ny, nz, n_pre, n_of(k, rays.w))
+
+        if static.bsdfs[k] is not None:
+            from optiland_tpu.core.scatter import scatter_directions
+
+            b = static.bsdfs[k]
+            nx_s, ny_s, nz_s = surface_normal(
+                static.geom_codes[k], static.geom_n_coeffs[k],
+                rays.x, rays.y, params.cv[k], params.conic[k],
+                params.coeffs[k], aux=static.geom_aux[k],
+            )
+            Ls, Ms, Ns = scatter_directions(
+                jax.random.fold_in(scatter_key, k), rays.L, rays.M, rays.N,
+                nx_s, ny_s, nz_s, kind=b.kind, sigma=b.sigma,
+            )
+            rays = rays.replace(L=Ls, M=Ms, N=Ns)
 
         rays = _apply_coating(static, params, k, rays, k0_dirs, n_pre,
                               n_of(k, rays.w))
