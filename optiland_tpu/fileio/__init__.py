@@ -5,6 +5,7 @@ from optiland_tpu.fileio.optiland_handler import (
     save_optiland_file,
 )
 from optiland_tpu.fileio.zemax import load_zemax_file
+from optiland_tpu.fileio.codev import load_codev_file
 
 __all__ = [
     "load_optiland_file",
@@ -12,4 +13,5 @@ __all__ = [
     "optic_to_dict",
     "optic_from_dict",
     "load_zemax_file",
+    "load_codev_file",
 ]

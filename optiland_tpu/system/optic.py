@@ -79,7 +79,7 @@ class _SurfaceCollection:
                             "biconic", "toroidal", "chebyshev", "zernike"):
             geometry = surface_type
             surface_type = "standard"
-        if surface_type not in ("standard", "paraxial", "grating"):
+        if surface_type not in ("standard", "paraxial", "grating", "phase"):
             raise ValueError(
                 f"Unknown surface_type {surface_type!r}; expected one of "
                 "standard, paraxial, grating, even_asphere, odd_asphere, "

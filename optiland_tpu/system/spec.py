@@ -48,6 +48,13 @@ INT_REFLECT = 1
 INT_THIN_LENS = 2  # reference "paraxial" surface type
 INT_NONE = 3  # object/image surfaces: record only
 INT_DIFFRACT = 4  # grating surface (reference DiffractiveInteractionModel)
+INT_PHASE = 5  # thin phase sheet (reference PhaseInteractionModel)
+
+# phase profile kinds (static per surface)
+PHASE_NONE = 0
+PHASE_CONSTANT = 1       # params: [value]
+PHASE_RADIAL = 2         # params: coeffs of r^2, r^4, ...
+PHASE_LINEAR_GRATING = 3  # params: [Kx, Ky]
 
 # coating kinds (static per surface; params live in SystemParams.coating_params)
 COAT_NONE = 0
@@ -122,6 +129,7 @@ class SystemStatic:
     is_reflective: tuple[bool, ...]  # mirror-material surfaces
     coatings: tuple[int, ...]  # COAT_* codes per surface
     bsdfs: tuple  # per-surface BSDF objects (hashable) or None
+    phase_kinds: tuple[int, ...]  # PHASE_* codes per surface
     geom_aux: tuple[tuple, ...]  # static per-surface geometry ints
     mat_formulas: tuple[int, ...]  # material after each surface
     mat_n_coeffs: tuple[int, ...]
@@ -169,6 +177,7 @@ class SystemParams:
     ap_radius: jax.Array  # (S,) physical semi-aperture (inf = open)
     grating: jax.Array  # (S, 3): diffraction order m, period d (um), groove angle
     coating_params: jax.Array  # (S, 4) per-coating parameter slots
+    phase_params: jax.Array  # (S, 8) phase-profile coefficient slots
     cs_pos: jax.Array  # (S, 3) absolute surface positions (abs-CS systems)
     aperture_value: jax.Array  # system aperture scalar
     x_fields: jax.Array  # (F,)
@@ -286,6 +295,7 @@ def build_system(
     is_reflective = []
     coatings = []
     bsdfs = []
+    phase_kinds = []
     mat_formulas = []
     mat_n_coeffs = []
     has_absorption = []
@@ -312,6 +322,7 @@ def build_system(
     ap_radius = np.full(S, np.inf)
     grating = np.zeros((S, 3))
     coating_params = np.zeros((S, 4))
+    phase_params = np.zeros((S, 8))
     cs_pos = np.zeros((S, 3))
     has_abs_cs = any(s.abs_cs is not None for s in surfaces)
 
@@ -333,6 +344,16 @@ def build_system(
             interactions.append(INT_NONE)
         elif s.surface_type == "paraxial":
             interactions.append(INT_THIN_LENS)
+        elif s.surface_type == "phase":
+            interactions.append(INT_PHASE)
+            prof = s.geom_params.get("phase_profile", ("constant", 0.0))
+            kind_name, *pvals = prof
+            pk = {"constant": PHASE_CONSTANT, "radial": PHASE_RADIAL,
+                  "linear_grating": PHASE_LINEAR_GRATING}[kind_name]
+            phase_kinds.append(pk)
+            if kind_name == "radial":
+                pvals = list(pvals[0])
+            phase_params[idx, : len(pvals)] = pvals
         elif s.surface_type == "grating":
             interactions.append(INT_DIFFRACT)
             gp = s.geom_params
@@ -368,6 +389,8 @@ def build_system(
         has_aperture.append(s.semi_aperture is not None)
 
         bsdfs.append(s.bsdf)
+        if s.surface_type != "phase" or idx == 0 or idx == S - 1:
+            phase_kinds.append(PHASE_NONE)
         coat = s.coating
         if coat is None or isinstance(coat, str):
             coatings.append(_COATING_BY_NAME[coat])
@@ -397,6 +420,11 @@ def build_system(
         if s.semi_aperture is not None:
             ap_radius[idx] = s.semi_aperture
 
+    if stop_index == 0:
+        # no explicit stop: default to the first optical surface (the
+        # reference's SurfaceGroup behaves the same for CODE V-style files)
+        stop_index = 1
+
     object_infinite = not np.isfinite(surfaces[0].thickness)
     if object_infinite:
         thickness[0] = np.inf
@@ -422,6 +450,7 @@ def build_system(
         is_reflective=tuple(is_reflective),
         coatings=tuple(coatings),
         bsdfs=tuple(bsdfs),
+        phase_kinds=tuple(phase_kinds),
         mat_formulas=tuple(mat_formulas),
         mat_n_coeffs=tuple(mat_n_coeffs),
         has_absorption=tuple(has_absorption),
@@ -453,6 +482,7 @@ def build_system(
         ap_radius=jnp.asarray(ap_radius, dtype),
         grating=jnp.asarray(grating, dtype),
         coating_params=jnp.asarray(coating_params, dtype),
+        phase_params=jnp.asarray(phase_params, dtype),
         cs_pos=jnp.asarray(cs_pos, dtype),
         aperture_value=jnp.asarray(aperture_value, dtype),
         x_fields=jnp.asarray(np.asarray(x_fields, float), dtype),

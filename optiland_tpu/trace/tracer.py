@@ -34,8 +34,12 @@ from optiland_tpu.materials.dispersion import material_index
 from optiland_tpu.system.spec import (
     INT_DIFFRACT,
     INT_NONE,
+    INT_PHASE,
     INT_REFLECT,
     INT_THIN_LENS,
+    PHASE_CONSTANT,
+    PHASE_LINEAR_GRATING,
+    PHASE_RADIAL,
     SystemParams,
     SystemStatic,
     positions_of,
@@ -225,6 +229,59 @@ def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
     return rays.replace(p=jnp.einsum("nij,njk->nik", p_surf, rays.p))
 
 
+def _phase_value_grad(static, params, k, x, y, w):
+    """Phase (radians) and its (x, y) gradient for a phase surface
+    (reference `phase/{constant,radial,linear_grating}.py`)."""
+    kind = static.phase_kinds[k]
+    p = params.phase_params[k]
+    if kind == PHASE_CONSTANT:
+        z = jnp.zeros_like(x)
+        return p[0] + z, z, z
+    if kind == PHASE_RADIAL:
+        r2 = x * x + y * y
+        phase = jnp.zeros_like(x)
+        dphi_dr2 = jnp.zeros_like(x)
+        rp = r2
+        for ci in range(p.shape[0]):
+            phase = phase + p[ci] * rp
+            dphi_dr2 = dphi_dr2 + p[ci] * (ci + 1) * jnp.where(
+                r2 > 0, rp / jnp.maximum(r2, 1e-30), 0.0)
+            rp = rp * r2
+        return phase, 2.0 * x * dphi_dr2, 2.0 * y * dphi_dr2
+    if kind == PHASE_LINEAR_GRATING:
+        return p[0] * x + p[1] * y, p[0] + 0.0 * x, p[1] + 0.0 * y
+    raise ValueError(f"Unknown phase kind {kind}")
+
+
+def _phase_interact(static, params, k, rays: Rays, n1, n2) -> Rays:
+    """Generalized Snell's law for a thin phase sheet (reference
+    `interactions/phase_interaction_model.py:45-131`; plane geometry)."""
+    reflective = static.is_reflective[k]
+    if reflective:
+        n2 = n1
+    k0 = 2.0 * jnp.pi / (rays.w * 1e-3)  # wavenumber in 1/mm
+
+    # plane geometry: normal (0, 0, 1); gradient has no z component
+    phase, gx, gy = _phase_value_grad(static, params, k, rays.x, rays.y,
+                                      rays.w)
+    k_out_x = n1 * k0 * rays.L + gx
+    k_out_y = n1 * k0 * rays.M + gy
+    R_sq = (n2 * k0) ** 2 - (k_out_x**2 + k_out_y**2)
+    ok = R_sq >= 0.0
+    alpha = jnp.sqrt(jnp.maximum(R_sq, 0.0))
+    sign = -1.0 if reflective else 1.0
+    # preserve the propagation direction sign through the sheet
+    alpha = sign * alpha * jnp.sign(rays.N)
+    mag = jnp.sqrt(k_out_x**2 + k_out_y**2 + alpha**2)
+    return rays.replace(
+        L=jnp.where(ok, k_out_x / mag, rays.L),
+        M=jnp.where(ok, k_out_y / mag, rays.M),
+        N=jnp.where(ok, alpha / mag, rays.N),
+        i=jnp.where(ok, rays.i, jnp.zeros_like(rays.i)),
+        opd=rays.opd - phase / k0,
+    )
+
+
 def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
                scatter_key=None) -> TraceHistory:
     """Trace a starting bundle through all surfaces; returns the history.
@@ -331,6 +388,9 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
         elif interaction == INT_DIFFRACT:
             rays = _grating_interact(static, params, k, rays, n_pre,
                                      n_of(k, rays.w))
+        elif interaction == INT_PHASE:
+            rays = _phase_interact(static, params, k, rays, n_pre,
+                                   n_of(k, rays.w))
         else:
             nx, ny, nz = surface_normal(
                 static.geom_codes[k], static.geom_n_coeffs[k],

@@ -143,3 +143,20 @@ def test_zemax_grating_file_loads():
 
 
 _ = math
+
+
+@pytest.mark.parametrize("fname", ["cooke_triplet.seq", "asphere.seq",
+                                   "mirror.seq", "fno_fields.seq",
+                                   "telescope_objective.seq"])
+def test_codev_import_matches_reference(fname, reference):
+    from optiland.fileio import load_codev_file as ref_load
+
+    from optiland_tpu.fileio import load_codev_file
+
+    path = f"/root/reference/tests/test_fileio/codev_files/{fname}"
+    ref = ref_load(path)
+    got = load_codev_file(path)
+    assert len(got.surfaces) == ref.surfaces.num_surfaces
+    np.testing.assert_allclose(float(got.paraxial.f2()),
+                               float(np.asarray(ref.paraxial.f2())),
+                               rtol=5e-4)
