@@ -39,6 +39,10 @@ GEOM_BICONIC = 5
 GEOM_TOROIDAL = 6
 GEOM_CHEBYSHEV = 7
 GEOM_ZERNIKE = 8
+GEOM_FORBES_QBFS = 9
+GEOM_FORBES_Q2D = 10
+GEOM_GRID_SAG = 11
+GEOM_NURBS = 12
 
 # Geometry codes that are exactly a conic (closed-form intersection, no
 # Newton refinement needed).
@@ -54,6 +58,15 @@ _EPS = 1e-14
 #   CHEBYSHEV: coeffs = [norm_x, norm_y, C_00..C_ij row-major]; aux = (rows, cols)
 #   ZERNIKE:   coeffs = [norm_radius, c_0..c_n]; aux = (type_code,) with
 #              0=fringe, 1=noll, 2=standard (reference `zernike.py:44-51`)
+#   FORBES_QBFS: coeffs = [norm_radius, a_0..a_N]; aux = ()
+#   FORBES_Q2D:  coeffs = [norm_radius, c_0..]; aux = ((n, m_signed), ...)
+#                with m_signed > 0 = cos ('a') term, < 0 = sin ('b') term
+#   GRID_SAG:  coeffs = x_grid(nx) ++ y_grid(ny) ++ z(ny*nx row-major);
+#              aux = (nx, ny)
+#   NURBS:     coeffs = U(nu+p+1) ++ V(nv+q+1) ++ W(nu*nv) ++ Px ++ Py ++ Pz
+#              (each nu*nv, u-major);
+#              aux = (p, q, nu, nv, x0, x1, y0, y1) — degrees/counts plus the
+#              static patch footprint box used for Newton initial guesses
 ZERNIKE_TYPE_CODES = {"fringe": 0, "noll": 1, "standard": 2}
 _ZERNIKE_TYPES = {v: k for k, v in ZERNIKE_TYPE_CODES.items()}
 
@@ -205,6 +218,132 @@ def _zernike_sag(x, y, cv, k, coeffs, n_coeffs: int, type_code: int):
     return z + _z.evaluate_xy(_ZERNIKE_TYPES[type_code], zc, xn, yn)
 
 
+def _forbes_phi(r2, cv, k):
+    """Forbes conic correction factor sqrt((1-kc^2r^2)/(1-(1+k)c^2r^2))
+    projecting the normal departure onto the sag axis (reference
+    `forbes/geometry.py:151-183`)."""
+    c2r2 = cv * cv * r2
+    num = jnp.maximum(1.0 - k * c2r2, 1e-12)
+    den = jnp.maximum(1.0 - (1.0 + k) * c2r2, 1e-12)
+    return jnp.sqrt(num / den)
+
+
+def _forbes_qbfs_sag(x, y, cv, k, coeffs, n_coeffs):
+    """Forbes Q (slope-orthogonal, 'Qbfs') sag (reference
+    `forbes/geometry.py:268-289`)."""
+    from optiland_tpu.geometry import forbes as _fb
+
+    r2 = x * x + y * y
+    zb = _conic_sag(x, y, cv, k)
+    if n_coeffs <= 1:
+        return zb
+    nr = coeffs[0]
+    usq = r2 / (nr * nr)
+    a = [coeffs[1 + i] for i in range(n_coeffs - 1)]
+    S = usq * (1.0 - usq) * _forbes_phi(r2, cv, k) * _fb.qbfs_sum(a, usq)
+    return zb + jnp.where(usq > 1.0, 0.0, S)
+
+
+def _forbes_q2d_sag(x, y, cv, k, coeffs, n_coeffs, nm_pairs):
+    """Forbes Q2D freeform sag (reference `forbes/geometry.py:540-570`).
+
+    The u^m cos(m theta) / sin(m theta) harmonics are evaluated as Cartesian
+    polynomials C_m + i S_m = ((x + i y)/r_norm)^m via the real recurrence —
+    smooth at the vertex (no arctan2), so `jax.jvp` gradients are clean.
+    """
+    from optiland_tpu.geometry import forbes as _fb
+
+    r2 = x * x + y * y
+    zb = _conic_sag(x, y, cv, k)
+    if n_coeffs <= 1:
+        return zb
+    nr = coeffs[0]
+    xn = x / nr
+    yn = y / nr
+    usq = r2 / (nr * nr)
+
+    cm0: dict = {}
+    a_by_m: dict = {}
+    b_by_m: dict = {}
+    for i, (n, ms) in enumerate(nm_pairs):
+        c = coeffs[1 + i]
+        if ms == 0:
+            cm0[n] = c
+        elif ms > 0:
+            a_by_m.setdefault(ms, {})[n] = c
+        else:
+            b_by_m.setdefault(-ms, {})[n] = c
+
+    total = jnp.zeros_like(x)
+    if cm0:
+        n_top = max(cm0)
+        cs = [cm0.get(n, 0.0) for n in range(n_top + 1)]
+        total = total + usq * (1.0 - usq) * _fb.qbfs_sum(cs, usq)
+
+    max_m = max(list(a_by_m) + list(b_by_m), default=0)
+    Cm = jnp.ones_like(x)
+    Sm = jnp.zeros_like(x)
+    for m in range(1, max_m + 1):
+        Cm, Sm = Cm * xn - Sm * yn, Sm * xn + Cm * yn
+        term = jnp.zeros_like(x)
+        if m in a_by_m:
+            n_top = max(a_by_m[m])
+            cs = [a_by_m[m].get(n, 0.0) for n in range(n_top + 1)]
+            term = term + Cm * _fb.q2d_sum(cs, m, usq)
+        if m in b_by_m:
+            n_top = max(b_by_m[m])
+            cs = [b_by_m[m].get(n, 0.0) for n in range(n_top + 1)]
+            term = term + Sm * _fb.q2d_sum(cs, m, usq)
+        total = total + term
+
+    S = _forbes_phi(r2, cv, k) * total
+    return zb + jnp.where(usq > 1.0, 0.0, S)
+
+
+def _grid_slices(coeffs, nx: int, ny: int):
+    xg = coeffs[0:nx]
+    yg = coeffs[nx: nx + ny]
+    zg = coeffs[nx + ny: nx + ny + nx * ny].reshape(ny, nx)
+    return xg, yg, zg
+
+
+def _grid_interp(x, y, coeffs, nx: int, ny: int):
+    """Bilinear interpolation on the tabulated sag grid + cell derivatives +
+    out-of-bounds mask (reference `grid_sag.py:62-104`; clamped instead of
+    NaN-poisoned — the mask feeds the intersect validity)."""
+    xg, yg, zg = _grid_slices(coeffs, nx, ny)
+    i = jnp.clip(jnp.searchsorted(xg, x, side="right") - 1, 0, nx - 2)
+    j = jnp.clip(jnp.searchsorted(yg, y, side="right") - 1, 0, ny - 2)
+    x1, x2 = xg[i], xg[i + 1]
+    y1, y2 = yg[j], yg[j + 1]
+    z11, z12 = zg[j, i], zg[j, i + 1]
+    z21, z22 = zg[j + 1, i], zg[j + 1, i + 1]
+    dx = x2 - x1
+    dy = y2 - y1
+    tx = (x - x1) / dx
+    ty = (y - y1) / dy
+    z = (z11 * (1 - tx) + z12 * tx) * (1 - ty) + (z21 * (1 - tx) + z22 * tx) * ty
+    gx = ((z12 - z11) * (1 - ty) + (z22 - z21) * ty) / dx
+    gy = ((z21 - z11) * (1 - tx) + (z22 - z12) * tx) / dy
+    oob = (x < xg[0]) | (x > xg[-1]) | (y < yg[0]) | (y > yg[-1])
+    return z, gx, gy, oob
+
+
+def _nurbs_slices(coeffs, aux):
+    p, q, nu, nv = aux
+    lu = nu + p + 1
+    lv = nv + q + 1
+    o = 0
+    U = coeffs[o: o + lu]; o += lu  # noqa: E702
+    V = coeffs[o: o + lv]; o += lv  # noqa: E702
+    n = nu * nv
+    W = coeffs[o: o + n]; o += n  # noqa: E702
+    Px = coeffs[o: o + n]; o += n  # noqa: E702
+    Py = coeffs[o: o + n]; o += n  # noqa: E702
+    Pz = coeffs[o: o + n]; o += n  # noqa: E702
+    return U, V, W, Px, Py, Pz
+
+
 def sag(code: int, n_coeffs: int, x, y, cv, k, coeffs, aux: tuple = ()):
     """Surface sag z(x, y). `code`, `n_coeffs` and `aux` are static."""
     base = _conic_sag(x, y, cv, k)
@@ -226,6 +365,21 @@ def sag(code: int, n_coeffs: int, x, y, cv, k, coeffs, aux: tuple = ()):
         return _chebyshev_sag(x, y, cv, k, coeffs, aux[0], aux[1])
     if code == GEOM_ZERNIKE:
         return _zernike_sag(x, y, cv, k, coeffs, n_coeffs, aux[0])
+    if code == GEOM_FORBES_QBFS:
+        return _forbes_qbfs_sag(x, y, cv, k, coeffs, n_coeffs)
+    if code == GEOM_FORBES_Q2D:
+        return _forbes_q2d_sag(x, y, cv, k, coeffs, n_coeffs, aux)
+    if code == GEOM_GRID_SAG:
+        z, _, _, _ = _grid_interp(x, y, coeffs, aux[0], aux[1])
+        return z
+    if code == GEOM_NURBS:
+        from optiland_tpu.geometry import nurbs as _nb
+
+        U, V, W, Px, Py, Pz = _nurbs_slices(coeffs, aux[:4])
+        p, q, nu, nv = aux[:4]
+        z, _, _ = _nb.sag_and_grad_xy(U, V, W, Px, Py, Pz, p, q, nu, nv,
+                                      aux[4:8], x, y)
+        return z
     raise ValueError(f"Unknown geometry code {code}")
 
 
@@ -264,7 +418,18 @@ def sag_and_grad(code: int, n_coeffs: int, x, y, cv, k, coeffs, aux: tuple = ())
         gx, gy = _conic_grad(x, y, cv, k)
         tz, tx, ty = _poly_xy_terms(x, y, coeffs, n_coeffs, grad=True)
         return z + tz, gx + tx, gy + ty
-    if code in (GEOM_BICONIC, GEOM_TOROIDAL, GEOM_CHEBYSHEV, GEOM_ZERNIKE):
+    if code == GEOM_GRID_SAG:
+        z, gx, gy, _ = _grid_interp(x, y, coeffs, aux[0], aux[1])
+        return z, gx, gy
+    if code == GEOM_NURBS:
+        from optiland_tpu.geometry import nurbs as _nb
+
+        U, V, W, Px, Py, Pz = _nurbs_slices(coeffs, aux[:4])
+        p, q, nu, nv = aux[:4]
+        return _nb.sag_and_grad_xy(U, V, W, Px, Py, Pz, p, q, nu, nv,
+                                   aux[4:8], x, y)
+    if code in (GEOM_BICONIC, GEOM_TOROIDAL, GEOM_CHEBYSHEV, GEOM_ZERNIKE,
+                GEOM_FORBES_QBFS, GEOM_FORBES_Q2D):
         fn = lambda xx, yy: sag(code, n_coeffs, xx, yy, cv, k, coeffs, aux)  # noqa: E731
         z, gx = jax.jvp(lambda xx: fn(xx, y), (x,), (jnp.ones_like(x),))
         _, gy = jax.jvp(lambda yy: fn(x, yy), (y,), (jnp.ones_like(y),))
@@ -323,6 +488,15 @@ def intersect(code: int, n_coeffs: int, x, y, z, L, M, N, cv, k, coeffs,
     (reference `newton_raphson.py:119-168`, re-cast as a static unrolled
     loop). Returns (t, valid).
     """
+    if code == GEOM_NURBS:
+        from optiland_tpu.geometry import nurbs as _nb
+
+        U, V, W, Px, Py, Pz = _nurbs_slices(coeffs, aux[:4])
+        p, q, nu, nv = aux[:4]
+        return _nb.intersect_two_plane(U, V, W, Px, Py, Pz, p, q, nu, nv,
+                                       aux[4:8], x, y, z, L, M, N,
+                                       iters=newton_iters)
+
     t, valid = _conic_intersect(x, y, z, L, M, N, cv, k)
     if code in _CLOSED_FORM or (
         n_coeffs == 0 and code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE,
@@ -339,6 +513,13 @@ def intersect(code: int, n_coeffs: int, x, y, z, L, M, N, cv, k, coeffs,
         fp = gx * L + gy * M - N
         fp = jnp.where(jnp.abs(fp) > _EPS, fp, jnp.sign(fp) * _EPS + (fp == 0) * _EPS)
         t = t - f / fp
+
+    if code == GEOM_GRID_SAG:
+        # rays landing outside the tabulated grid are invalid (the reference
+        # NaN-poisons them, `grid_sag.py:134-145`; we mask instead)
+        _, _, _, oob = _grid_interp(x + t * L, y + t * M, coeffs,
+                                    aux[0], aux[1])
+        valid = valid & ~oob
     return t, valid
 
 

@@ -76,14 +76,16 @@ class _SurfaceCollection:
     ):
         geometry = "standard"
         if surface_type in ("even_asphere", "odd_asphere", "polynomial",
-                            "biconic", "toroidal", "chebyshev", "zernike"):
+                            "biconic", "toroidal", "chebyshev", "zernike",
+                            "forbes_qbfs", "forbes_q2d", "grid_sag", "nurbs"):
             geometry = surface_type
             surface_type = "standard"
         if surface_type not in ("standard", "paraxial", "grating", "phase"):
             raise ValueError(
                 f"Unknown surface_type {surface_type!r}; expected one of "
                 "standard, paraxial, grating, even_asphere, odd_asphere, "
-                "polynomial, biconic, toroidal, chebyshev, zernike"
+                "polynomial, biconic, toroidal, chebyshev, zernike, "
+                "forbes_qbfs, forbes_q2d, grid_sag, nurbs"
             )
         if geometry == "chebyshev":
             # 2-D coefficient grid travels via geom_params (static shape)

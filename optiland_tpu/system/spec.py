@@ -32,6 +32,10 @@ from optiland_tpu.geometry.surfaces import (
     GEOM_CHEBYSHEV,
     GEOM_CONIC,
     GEOM_EVEN_ASPHERE,
+    GEOM_FORBES_Q2D,
+    GEOM_FORBES_QBFS,
+    GEOM_GRID_SAG,
+    GEOM_NURBS,
     GEOM_ODD_ASPHERE,
     GEOM_PLANE,
     GEOM_POLYNOMIAL_XY,
@@ -87,6 +91,10 @@ _GEOM_BY_TYPE = {
     "toroidal": GEOM_TOROIDAL,
     "chebyshev": GEOM_CHEBYSHEV,
     "zernike": GEOM_ZERNIKE,
+    "forbes_qbfs": GEOM_FORBES_QBFS,
+    "forbes_q2d": GEOM_FORBES_Q2D,
+    "grid_sag": GEOM_GRID_SAG,
+    "nurbs": GEOM_NURBS,
 }
 
 _INF = float("inf")
@@ -260,7 +268,105 @@ def _pack_geometry(s: SurfaceSpec):
             [gp.get("norm_radius", 1.0)] + list(s.coefficients),
             (ZERNIKE_TYPE_CODES[zt],),
         )
+    if geom == GEOM_FORBES_QBFS:
+        # radial_terms: {n: a_n} dict (reference ForbesSurfaceConfig.terms)
+        terms = dict(gp.get("radial_terms", enumerate(s.coefficients)))
+        n_top = max(terms.keys(), default=-1)
+        a = [float(terms.get(n, 0.0)) for n in range(n_top + 1)]
+        return (
+            geom, _safe_cv(s.radius), s.conic,
+            [_forbes_norm_radius(gp, s)] + a, (),
+        )
+    if geom == GEOM_FORBES_Q2D:
+        # freeform_coeffs: {('a'|'b', m, n): c} Zemax-style keys (reference
+        # `forbes/geometry.py:497-536`); sorted (n, |m|, cos-before-sin)
+        fc = gp.get("freeform_coeffs", {})
+        items = []
+        for key, val in fc.items():
+            kind, m, n = key
+            m_signed = m if kind.lower() == "a" else -m
+            items.append(((n, abs(m), 0 if kind.lower() == "a" else 1),
+                          (n, m_signed), float(val)))
+        items.sort(key=lambda it: it[0])
+        nm_pairs = tuple(it[1] for it in items)
+        cs = [it[2] for it in items]
+        return (
+            geom, _safe_cv(s.radius), s.conic,
+            [_forbes_norm_radius(gp, s)] + cs, nm_pairs,
+        )
+    if geom == GEOM_GRID_SAG:
+        xg = list(np.asarray(gp["x_coordinates"], float))
+        yg = list(np.asarray(gp["y_coordinates"], float))
+        zg = np.asarray(gp["sag_values"], float)
+        if zg.shape != (len(yg), len(xg)):
+            raise ValueError(
+                f"sag_values shape {zg.shape} must be (ny, nx) = "
+                f"({len(yg)}, {len(xg)})")
+        return (
+            geom, 0.0, 0.0, xg + yg + list(zg.ravel()),
+            (len(xg), len(yg)),
+        )
+    if geom == GEOM_NURBS:
+        return _pack_nurbs(s, gp)
     raise ValueError(f"Unhandled geometry {s.geometry!r}")
+
+
+def _forbes_norm_radius(gp: dict, s: SurfaceSpec) -> float:
+    """Manual norm radius, else the reference's auto rule 1.25 x semi-aperture
+    (`forbes/geometry.py:436-439`), else 1."""
+    nr = gp.get("norm_radius")
+    if nr is not None:
+        return float(nr)
+    if s.semi_aperture is not None:
+        return 1.25 * float(s.semi_aperture)
+    return 1.0
+
+
+def _pack_nurbs(s: SurfaceSpec, gp: dict):
+    """Pack a NURBS surface: explicit control net, or a host-side LSQ fit of
+    the base conic over the normalization box (reference
+    `nurbs_geometry.py:865-969` fit_surface)."""
+    from optiland_tpu.geometry import nurbs as _nb
+    from optiland_tpu.geometry.surfaces import _conic_sag as _csag
+
+    if gp.get("control_points") is not None:
+        P = np.asarray(gp["control_points"], float)  # (3, nu, nv)
+        _, nu, nv = P.shape
+        p = int(gp.get("u_degree", 3))
+        q = int(gp.get("v_degree", 3))
+        W = np.asarray(gp.get("weights", np.ones((nu, nv))), float)
+        U = np.asarray(gp.get("u_knots", _nb.clamped_uniform_knots(nu, p)),
+                       float)
+        V = np.asarray(gp.get("v_knots", _nb.clamped_uniform_knots(nv, q)),
+                       float)
+        Px, Py, Pz = P[0], P[1], P[2]
+        box = (float(Px.min()), float(Px.max()),
+               float(Py.min()), float(Py.max()))
+    else:
+        nu = int(gp.get("n_points_u", 4))
+        nv = int(gp.get("n_points_v", 4))
+        p = int(gp.get("u_degree", min(3, nu - 1)))
+        q = int(gp.get("v_degree", min(3, nv - 1)))
+        norm_x = float(gp.get("nurbs_norm_x") or 1.0)
+        norm_y = float(gp.get("nurbs_norm_y") or 1.0)
+        xc = float(gp.get("x_center", 0.0))
+        yc = float(gp.get("y_center", 0.0))
+        cv = _safe_cv(s.radius)
+        k = s.conic
+
+        def sag_np(X, Y):
+            import jax.numpy as jnp  # noqa: F401
+
+            return np.asarray(_csag(jnp.asarray(X), jnp.asarray(Y), cv, k))
+
+        box = (xc - norm_x, xc + norm_x, yc - norm_y, yc + norm_y)
+        U, V, W, Px, Py, Pz = _nb.fit_nurbs_to_sag(
+            sag_np, *box, nu, nv, p=p, q=q)
+    coeffs = (list(U) + list(V) + list(np.asarray(W).ravel())
+              + list(np.asarray(Px).ravel()) + list(np.asarray(Py).ravel())
+              + list(np.asarray(Pz).ravel()))
+    aux = (p, q, nu, nv) + tuple(box)
+    return (GEOM_NURBS, 0.0, 0.0, coeffs, aux)
 
 
 def build_system(

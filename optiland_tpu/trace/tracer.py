@@ -327,12 +327,20 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
         # converged root, not the iteration chain)
         from optiland_tpu.geometry.surfaces import (
             _CLOSED_FORM,
+            GEOM_GRID_SAG,
+            GEOM_NURBS,
             _conic_intersect,
+            _grid_interp,
             intersect_implicit,
         )
 
         code = static.geom_codes[k]
-        if code in _CLOSED_FORM or static.geom_n_coeffs[k] == 0:
+        if (code in _CLOSED_FORM or static.geom_n_coeffs[k] == 0
+                or code == GEOM_NURBS):
+            # NURBS uses the two-plane Newton directly: its validity is the
+            # converged residual, and the unrolled fixed-count Newton is the
+            # cheapest correct derivative path (the implicit VJP's backward
+            # sag eval would itself be an inner Newton).
             t, valid = intersect(
                 code, static.geom_n_coeffs[k],
                 rays.x, rays.y, rays.z, rays.L, rays.M, rays.N,
@@ -349,6 +357,12 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
             _, valid = _conic_intersect(rays.x, rays.y, rays.z, rays.L,
                                         rays.M, rays.N, params.cv[k],
                                         params.conic[k])
+            if code == GEOM_GRID_SAG:
+                aux = static.geom_aux[k]
+                _, _, _, oob = _grid_interp(
+                    rays.x + t * rays.L, rays.y + t * rays.M,
+                    params.coeffs[k], aux[0], aux[1])
+                valid = valid & ~oob
         n_pre = n_of(k - 1, rays.w)
         rays = R.propagate(rays, t)
         new_i = jnp.where(valid, rays.i, jnp.zeros_like(rays.i))
