@@ -112,7 +112,10 @@ class SurfaceSpec:
     geometry: str = "standard"
     surface_type: str = "standard"  # "standard" | "paraxial" (thin lens)
     is_stop: bool = False
-    semi_aperture: float | None = None  # physical radial aperture, None = open
+    # physical aperture: None = open, float = radial semi-aperture (lives in
+    # SystemParams.ap_radius, differentiable), or a BaseAperture mask object
+    # (static predicate from `system/apertures.py`)
+    semi_aperture: object = None
     dx: float = 0.0
     dy: float = 0.0
     rx: float = 0.0
@@ -155,6 +158,9 @@ class SystemStatic:
     primary_wavelength_idx: int
     apodization: object = None  # BaseApodization (hashable) or None=uniform
     newton_iters: int = 16
+    # per-surface BaseAperture mask objects (hashable) or None; the scalar
+    # radial case lives in SystemParams.ap_radius instead
+    aperture_masks: tuple = ()
 
     @property
     def surface_indices(self):
@@ -317,7 +323,8 @@ def _forbes_norm_radius(gp: dict, s: SurfaceSpec) -> float:
     nr = gp.get("norm_radius")
     if nr is not None:
         return float(nr)
-    if s.semi_aperture is not None:
+    if s.semi_aperture is not None and not hasattr(s.semi_aperture,
+                                                    "contains"):
         return 1.25 * float(s.semi_aperture)
     return 1.0
 
@@ -408,6 +415,7 @@ def build_system(
     has_tilt = []
     has_decenter = []
     has_aperture = []
+    aperture_masks = []
     stop_index = 0
 
     cv = np.zeros(S)
@@ -493,6 +501,8 @@ def build_system(
             has_tilt.append(bool(s.rx or s.ry or s.rz))
         has_decenter.append(bool(s.dx or s.dy))
         has_aperture.append(s.semi_aperture is not None)
+        aperture_masks.append(
+            s.semi_aperture if hasattr(s.semi_aperture, "contains") else None)
 
         bsdfs.append(s.bsdf)
         if s.surface_type != "phase" or idx == 0 or idx == S - 1:
@@ -523,7 +533,7 @@ def build_system(
             tilt[idx] = (s.rx, s.ry, s.rz)
         decenter[idx] = (s.dx, s.dy)
         focal_length[idx] = s.focal_length
-        if s.semi_aperture is not None:
+        if s.semi_aperture is not None and aperture_masks[idx] is None:
             ap_radius[idx] = s.semi_aperture
 
     if stop_index == 0:
@@ -573,6 +583,7 @@ def build_system(
         primary_wavelength_idx=primary_wavelength_idx,
         apodization=apodization,
         newton_iters=newton_iters,
+        aperture_masks=tuple(aperture_masks),
     )
     params = SystemParams(
         cv=jnp.asarray(cv, dtype),

@@ -56,6 +56,7 @@ def supports_fused(static: SystemStatic) -> bool:
         and all(c == COAT_NONE for c in static.coatings)
         and all(b is None for b in static.bsdfs)
         and static.apodization is None
+        and all(m is None for m in static.aperture_masks)
     )
 
 

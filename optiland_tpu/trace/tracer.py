@@ -378,10 +378,15 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
             i=new_i,
         )
 
-        # physical aperture (radial) clip — zero intensity, keep tracing
+        # physical aperture clip — zero intensity, keep tracing
         if static.has_aperture[k]:
-            r2 = rays.x**2 + rays.y**2
-            rays = R.clip(rays, r2 > params.ap_radius[k] ** 2)
+            mask = (static.aperture_masks[k]
+                    if k < len(static.aperture_masks) else None)
+            if mask is not None:
+                rays = R.clip(rays, mask.clip(rays.x, rays.y))
+            else:
+                r2 = rays.x**2 + rays.y**2
+                rays = R.clip(rays, r2 > params.ap_radius[k] ** 2)
 
         k0_dirs = (rays.L, rays.M, rays.N)  # pre-interaction directions
 
