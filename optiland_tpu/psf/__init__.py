@@ -1,5 +1,8 @@
-from optiland_tpu.psf.fft import FFTPSF, calculate_grid_size
-from optiland_tpu.psf.huygens import HuygensPSF
+from optiland_tpu.psf.fft import (FFTPSF, ScalarFFTPSF, VectorialFFTPSF, calculate_grid_size)
+from optiland_tpu.psf.huygens import (HuygensPSF, ScalarHuygensPSF,
+                                       VectorialHuygensPSF)
 from optiland_tpu.psf.mmdft import MMDFTPSF
 
-__all__ = ["FFTPSF", "HuygensPSF", "MMDFTPSF", "calculate_grid_size"]
+__all__ = ["FFTPSF", "ScalarFFTPSF", "VectorialFFTPSF", "HuygensPSF",
+           "ScalarHuygensPSF", "VectorialHuygensPSF", "MMDFTPSF",
+           "calculate_grid_size"]

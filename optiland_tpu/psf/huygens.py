@@ -179,7 +179,7 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-class HuygensPSF:
+class ScalarHuygensPSF:
     """Scalar Huygens-Fresnel PSF for one field and wavelength."""
 
     def __init__(self, optic, field, wavelength="primary", num_rays: int = 128,
@@ -273,3 +273,150 @@ class HuygensPSF:
         ax.set_ylabel("Image Y (um)")
         fig.colorbar(im, ax=ax)
         return fig, ax
+
+
+def huygens_sum_complex_xla(image_xyz, pupil_xyz, amp_re, amp_im, pupil_opd,
+                            wavelength_mm, Rp, row_chunk: int = 128):
+    """Huygens summation with a *complex* pupil amplitude (vectorial E-field
+    component): |sum amp * e^{ik(R-Rp-opd)} obliq / R|^2 per image point."""
+    ix, iy, iz = (a.ravel() for a in image_xyz)
+    ux, uy, uz = pupil_xyz
+    k = 2.0 * jnp.pi / wavelength_mm
+    n = ix.shape[0]
+    pad = (-n) % row_chunk
+    ixp = jnp.pad(ix, (0, pad))
+    iyp = jnp.pad(iy, (0, pad))
+    izp = jnp.pad(iz, (0, pad))
+    chunks = ixp.shape[0] // row_chunk
+
+    def body(c):
+        cx, cy, cz = c
+        dx = cx[:, None] - ux[None, :]
+        dy = cy[:, None] - uy[None, :]
+        dz = cz[:, None] - uz[None, :]
+        R = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        cos_theta = (dx * ux[None, :] + dy * uy[None, :]
+                     + dz * uz[None, :]) / (R * Rp)
+        obliq = 0.5 * (1.0 + cos_theta)
+        phase = k * ((R - Rp) - pupil_opd[None, :])
+        scale = obliq / R
+        cp = jnp.cos(phase)
+        sp = jnp.sin(phase)
+        re = jnp.sum(scale * (amp_re[None, :] * cp - amp_im[None, :] * sp),
+                     axis=-1)
+        im = jnp.sum(scale * (amp_re[None, :] * sp + amp_im[None, :] * cp),
+                     axis=-1)
+        return re * re + im * im
+
+    psf = jax.lax.map(
+        body,
+        (ixp.reshape(chunks, row_chunk), iyp.reshape(chunks, row_chunk),
+         izp.reshape(chunks, row_chunk)),
+    ).ravel()[:n]
+    return psf.reshape(image_xyz[0].shape)
+
+
+class VectorialHuygensPSF:
+    """Vectorial Huygens-Fresnel PSF: the diffraction integral evaluated for
+    each Cartesian exit-pupil E-field component of each incoherent
+    polarization state, intensities summed (reference
+    `psf/vectorial_huygens.py:21`)."""
+
+    def __init__(self, optic, field, wavelength="primary",
+                 num_rays: int = 128, image_size: int = 128,
+                 strategy: str = "chief_ray"):
+        from optiland_tpu.polarization import PolarizationState
+
+        state = optic.polarization
+        if state == "ignore" or state is None:
+            state = PolarizationState.unpolarized()
+        self.optic = optic
+        self.field = field
+        self.wavelength = (
+            optic.primary_wavelength if wavelength == "primary"
+            else float(wavelength))
+        self.num_rays = num_rays
+        self.image_size = image_size
+
+        static, params = optic.build()
+        wl = jnp.asarray(self.wavelength, params.cv.dtype)
+
+        lin = jnp.linspace(-1.0, 1.0, num_rays)
+        X, Y = jnp.meshgrid(lin, lin)
+        inside = (X**2 + Y**2 <= 1.0).ravel()
+        Px, Py = X.ravel(), Y.ravel()
+
+        data = wavefront_data(static, params, field[0], field[1], Px, Py, wl,
+                              strategy=strategy, polarization=state)
+        valid = (data.intensity > 0) & inside
+        opd_mm = data.opd * self.wavelength * 1e-3
+
+        # image grid centered on the beam footprint (same rule as scalar)
+        spot = optic.trace(Hx=field[0], Hy=field[1],
+                           wavelength=self.wavelength, num_rays=6,
+                           distribution="hexapolar")
+        sx, sy, si = spot.x[-1], spot.y[-1], spot.intensity[-1]
+        wsum = jnp.sum(si) + 1e-12
+        cx = jnp.sum(sx * si) / wsum
+        cy = jnp.sum(sy * si) / wsum
+        fno = px.FNO(static, params, self.wavelength)
+        extent_geo = jnp.max(
+            jnp.where(si > 0, jnp.hypot(sx - cx, sy - cy), 0.0))
+        extent_ideal = 5.0 * fno * 1.22 * self.wavelength * 1e-3
+        extent = jnp.maximum(extent_geo, extent_ideal)
+        self.pixel_pitch = 2.0 * extent / image_size
+        gx = jnp.linspace(-1.0, 1.0, image_size) * extent
+        IX, IY = jnp.meshgrid(gx + cx, gx + cy)
+        from optiland_tpu.system.spec import positions_of
+
+        pos = positions_of(static, params)
+        IZ = jnp.full_like(IX, pos[-1])
+        self.cx, self.cy = cx, cy
+        wl_mm = self.wavelength * 1e-3
+
+        def component_sum(E_exits, image, opd):
+            total = 0.0
+            for s in range(E_exits.shape[0]):
+                for c in range(3):
+                    amp = jnp.where(valid, E_exits[s, :, c], 0.0)
+                    total = total + huygens_sum_complex_xla(
+                        image, (data.pupil_x, data.pupil_y, data.pupil_z),
+                        jnp.real(amp), jnp.imag(amp), opd, wl_mm, data.radius)
+            return total
+
+        psf_raw = component_sum(data.E_exits, (IX, IY, IZ), opd_mm)
+
+        # ideal (zero-OPD) on-axis peak -> 100 (reference
+        # `vectorial_huygens.py:117-168`)
+        zero = jnp.zeros((1, 1), psf_raw.dtype)
+        izc = jnp.full((1, 1), pos[-1], psf_raw.dtype)
+        if tuple(field) == (0, 0):
+            ideal = data
+        else:
+            ideal = wavefront_data(static, params, 0.0, 0.0, Px, Py, wl,
+                                   strategy=strategy, polarization=state)
+        ideal_valid = (ideal.intensity > 0) & inside
+        peak = 0.0
+        for s in range(ideal.E_exits.shape[0]):
+            for c in range(3):
+                amp = jnp.where(ideal_valid, ideal.E_exits[s, :, c], 0.0)
+                peak = peak + huygens_sum_complex_xla(
+                    (zero, zero, izc),
+                    (ideal.pupil_x, ideal.pupil_y, ideal.pupil_z),
+                    jnp.real(amp), jnp.imag(amp),
+                    jnp.zeros_like(opd_mm), wl_mm, ideal.radius)
+        self.psf = psf_raw / peak[0, 0] * 100.0
+
+    strehl_ratio = ScalarHuygensPSF.strehl_ratio
+    view = ScalarHuygensPSF.view
+
+
+class HuygensPSF:
+    """Factory: scalar or vectorial Huygens PSF by the optic's polarization
+    state (mirrors the reference `psf/huygens_fresnel.py` factory pattern)."""
+
+    def __new__(cls, optic, *args, **kwargs):
+        if getattr(optic, "polarization", "ignore") != "ignore":
+            kwargs.pop("use_pallas", None)
+            return VectorialHuygensPSF(optic, *args, **kwargs)
+        return ScalarHuygensPSF(optic, *args, **kwargs)

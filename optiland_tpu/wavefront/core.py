@@ -44,6 +44,10 @@ class WavefrontData:
     opd: jax.Array  # in waves
     intensity: jax.Array
     radius: jax.Array
+    # exit-pupil 3-D E-fields, one (N, 3) complex array per incoherent
+    # polarization state (reference `wavefront_data.py:38` E_exits), stacked
+    # to (n_states, N, 3); None for scalar traces
+    E_exits: jax.Array | None = None
 
 
 def _sphere_path_length(x, y, z, L, M, N, xc, yc, zc, R):
@@ -77,11 +81,16 @@ def _tilt_correction(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
 
 
 def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
-                   wavelength, strategy: str = "chief_ray") -> WavefrontData:
+                   wavelength, strategy: str = "chief_ray",
+                   polarization=None) -> WavefrontData:
     """Compute the wavefront for one field over a pupil sample set.
 
     Hx/Hy are scalars (one field); Px/Py are (N,) normalized pupil coords.
     Fully jittable; `jax.vmap` over fields/wavelengths batches it.
+
+    With `polarization` (a PolarizationState, incl. unpolarized) the bundle
+    is traced with PRT matrices and the exit-pupil E-fields are attached as
+    `E_exits` (reference ChiefRayStrategy, `wavefront/strategy.py:205-215`).
     """
     n_img = px.index_table(static, params, wavelength)[-1]
     from optiland_tpu.system.spec import positions_of
@@ -111,7 +120,15 @@ def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     full = trace_system(static, params,
                         jnp.broadcast_to(Hx, Px.shape),
                         jnp.broadcast_to(Hy, Px.shape),
-                        Pxv, Pyv, wavelength, apply_vignetting=False)
+                        Pxv, Pyv, wavelength, apply_vignetting=False,
+                        polarization=polarization)
+    E_exits = None
+    if polarization is not None:
+        from optiland_tpu.polarization.prt import exit_fields
+
+        k0 = jnp.stack([full.L[0], full.M[0], full.N[0]], axis=-1)
+        E_exits = jnp.stack(
+            exit_fields(full.p, k0, full.intensity[0], polarization))
     x, y, z = full.x[-1], full.y[-1], full.z[-1]
     L, M, N = full.L[-1], full.M[-1], full.N[-1]
     opd = full.opd[-1]
@@ -165,4 +182,5 @@ def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
         opd=opd_waves,
         intensity=intensity,
         radius=R,
+        E_exits=E_exits,
     )
