@@ -89,21 +89,34 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
         # float mask instead of bool vectors (Mosaic-friendly)
         validf = (disc >= 0.0).astype(A.dtype)
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        A_safe = jnp.where(jnp.abs(A) > _EPS, A, 1.0)
+        # NOTE: scalar `where` branches must be dtype-matched — a weak f64
+        # literal under jax_enable_x64 lowers to tpu.truncf, which Mosaic
+        # cannot legalize
+        one = jnp.asarray(1.0, A.dtype)
+        eps = jnp.asarray(_EPS, A.dtype)
+        A_safe = jnp.where(jnp.abs(A) > _EPS, A, one)
         t1 = (-B + sq) / (2.0 * A_safe)
         t2 = (-B - sq) / (2.0 * A_safe)
         z1 = z + t1 * N
         z2 = z + t2 * N
         t_quad = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
-        B_safe = jnp.where(jnp.abs(B) > _EPS, B, _EPS)
+        B_safe = jnp.where(jnp.abs(B) > _EPS, B, eps)
         t = jnp.where(jnp.abs(A) > _EPS, t_quad, -C / B_safe)
         validf = jnp.where(jnp.abs(A) > _EPS, validf,
                            jnp.ones((), A.dtype))
 
         n_coeffs = static.geom_n_coeffs[k]
         if code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE) and n_coeffs:
-            # fixed-count Newton refinement with analytic sag gradient
-            for _ in range(static.newton_iters):
+            # Fixed-count Newton refinement with analytic sag gradient.
+            # Iterations run on a detached root, then ONE differentiable
+            # step closes the graph: t* = t - F/F' with F(t)≈0 gives
+            # dt/dp = -F_p/F_t — the implicit-function-theorem derivative
+            # (same trick as `surfaces.intersect_implicit`), so the
+            # in-kernel VJP never stores the 16-iteration chain.
+            t = jax.lax.stop_gradient(t)
+            for _it in range(static.newton_iters + 1):
+                if _it == static.newton_iters:
+                    t = jax.lax.stop_gradient(t)
                 xt = x + t * L
                 yt = y + t * M
                 zt = z + t * N
@@ -133,7 +146,7 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
                     gy = yt * gmul + yt / r * g
                 f = s_val - zt
                 fp = gx * L + gy * M - N
-                fp = jnp.where(jnp.abs(fp) > _EPS, fp, _EPS)
+                fp = jnp.where(jnp.abs(fp) > _EPS, fp, eps)
                 t = t - f / fp
 
         x = x + t * L
