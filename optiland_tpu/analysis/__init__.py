@@ -16,8 +16,18 @@ from optiland_tpu.analysis.pupil_aberration import AngleVsHeight, PupilAberratio
 from optiland_tpu.analysis.irradiance import IncoherentIrradiance
 from optiland_tpu.analysis.jones_pupil import JonesPupil
 from optiland_tpu.analysis.mtf_vs_field import MTFvsField
+from optiland_tpu.analysis.image_simulation import (
+    DistortionWarper,
+    ImageSimulationEngine,
+    PSFBasisGenerator,
+    SpatiallyVariableSimulator,
+)
 
 __all__ = [
+    "ImageSimulationEngine",
+    "PSFBasisGenerator",
+    "SpatiallyVariableSimulator",
+    "DistortionWarper",
     "SpotDiagram",
     "RayFan",
     "Distortion",

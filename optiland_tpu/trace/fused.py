@@ -240,6 +240,22 @@ def _pad_2d(a, rows, cols, fill=0.0):
     return jnp.pad(a, (0, pad), constant_values=fill).reshape(rows, cols)
 
 
+def _full_spec(shape):
+    """Whole-array VMEM BlockSpec with an explicit int32 index map.
+
+    Under jax_enable_x64, Pallas's DEFAULT index map returns Python-int
+    zeros that trace as i64 — Mosaic cannot legalize the resulting
+    `func.return (i64)`. Explicit jnp.int32 literals avoid it.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ndim = len(shape)
+    return pl.BlockSpec(shape,
+                        lambda g: tuple(jnp.int32(0) for _ in range(ndim)),
+                        memory_space=pltpu.VMEM)
+
+
 def _launch(static, interpret, params, rays_flat, kernel_body, n_outs,
             extra_inputs=()):
     from jax.experimental import pallas as pl
@@ -263,11 +279,13 @@ def _launch(static, interpret, params, rays_flat, kernel_body, n_outs,
             (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
     ins += list(extra_inputs)
 
-    ray_spec = pl.BlockSpec((TR, LANE), lambda g: (g, 0),
+    # NOTE: index-map literals must be int32 — under jax_enable_x64 a bare
+    # Python 0 traces as i64, which Mosaic cannot legalize (func.return i64)
+    ray_spec = pl.BlockSpec((TR, LANE), lambda g: (g, jnp.int32(0)),
                             memory_space=pltpu.VMEM)
-    par_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = ([ray_spec] * 9
-                + [par_spec] * 6
+                + [_full_spec(np.shape(p)) for p in
+                   (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
                 + [ray_spec] * len(extra_inputs))
 
     out_shape = [jax.ShapeDtypeStruct((rows_pad, LANE), x.dtype)
@@ -361,17 +379,20 @@ def _fused_bwd(static, interpret, res, g):
     gsafe = [jnp.zeros_like(x) if gg is None else gg for gg in g]
     ins += [_pad_2d(a, rows_pad, LANE) for a in gsafe]
 
-    ray_spec = pl.BlockSpec((TR, LANE), lambda gq: (gq, 0),
+    ray_spec = pl.BlockSpec((TR, LANE), lambda gq: (gq, jnp.int32(0)),
                             memory_space=pltpu.VMEM)
-    par_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    acc_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    in_specs = [ray_spec] * 9 + [par_spec] * 6 + [ray_spec] * 8
+    in_specs = ([ray_spec] * 9
+                + [_full_spec(np.shape(p)) for p in
+                   (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
+                + [ray_spec] * 8)
     out_shape = ([jax.ShapeDtypeStruct((rows_pad, LANE), x.dtype)
                   for _ in range(8)]
                  + [jax.ShapeDtypeStruct(np.shape(p), x.dtype)
                     for p in (cv, conic, coeffs, thickness, mat_coeffs)])
-    out_specs = [ray_spec] * 8 + [acc_spec] * 5
+    out_specs = ([ray_spec] * 8
+                 + [_full_spec(np.shape(p)) for p in
+                    (cv, conic, coeffs, thickness, mat_coeffs)])
 
     outs = pl.pallas_call(
         kernel,
