@@ -61,7 +61,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from optiland_tpu.trace.tracer import trace_system
+    from optiland_tpu.trace.tracer import trace_system_final
 
     lens = build_bench_system()
     static, params = lens.build()
@@ -81,8 +81,10 @@ def main():
     w = jnp.full((N,), 0.5876, jnp.float32)
 
     def merit(params):
-        hist = trace_system(static, params, Hx, Hy, Px, Py, w)
-        x, y, i = hist.x[-1], hist.y[-1], hist.intensity[-1]
+        # production hot path: fused Pallas trace kernel on TPU (final-state
+        # only — no (S, N) history), XLA fallback elsewhere
+        out = trace_system_final(static, params, Hx, Hy, Px, Py, w)
+        x, y, i = out["x"], out["y"], out["intensity"]
         wsum = jnp.sum(i) + 1e-6
         cx = jnp.sum(x * i) / wsum
         cy = jnp.sum(y * i) / wsum

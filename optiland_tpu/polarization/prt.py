@@ -30,15 +30,23 @@ def local_basis(k0, k1):
     s = jnp.cross(k0, k1)
     mag = jnp.linalg.norm(s, axis=-1, keepdims=True)
 
-    # fallback for k0 ~ k1 (normal incidence): build any transverse vector
+    # Fallback for k0 ~ k1 (normal incidence / index-matched interfaces):
+    # build any transverse vector. The reference tests `mag == 0` exactly
+    # (`polarized_rays.py:155`), which numpy satisfies for identical k0/k1 —
+    # but XLA fuses the cross product's multiply-subtract into FMAs, so
+    # cross(k, k) returns O(eps) NOISE, not zero. Normalizing that noise
+    # yields an s that is not perpendicular to k, which silently produces a
+    # NON-orthogonal polarization rotation (observed: |p| entries of 1.2 on
+    # a fold-mirror chain). A dtype-scaled tolerance restores the fallback.
+    eps = 100.0 * jnp.finfo(k0.dtype).eps
     x = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], k0.dtype), k0.shape)
     y = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], k0.dtype), k0.shape)
     p_fb = jnp.cross(k0, x)
     p_fb_norm = jnp.linalg.norm(p_fb, axis=-1, keepdims=True)
-    p_fb = jnp.where(p_fb_norm == 0, jnp.cross(k0, y), p_fb)
+    p_fb = jnp.where(p_fb_norm < eps, jnp.cross(k0, y), p_fb)
     s_fb = jnp.cross(p_fb, k0)
 
-    s = jnp.where(mag == 0, s_fb, s)
+    s = jnp.where(mag < eps, s_fb, s)
     s = s / jnp.linalg.norm(s, axis=-1, keepdims=True)
 
     p0 = jnp.cross(k0, s)

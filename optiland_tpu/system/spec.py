@@ -71,6 +71,7 @@ COAT_POLARIZER_LCP = 6
 COAT_RETARDER = 7      # params: [retardance, theta]
 COAT_DIATTENUATOR = 8  # params: [t_min, t_max, theta]
 COAT_LINEAR_POLARIZER = 9  # params: [theta]
+COAT_THIN_FILM = 10    # TMM-backed stack (static.thin_films[k] holds it)
 
 _COATING_BY_NAME = {
     None: COAT_NONE,
@@ -161,6 +162,10 @@ class SystemStatic:
     # per-surface BaseAperture mask objects (hashable) or None; the scalar
     # radial case lives in SystemParams.ap_radius instead
     aperture_masks: tuple = ()
+    # per-surface ThinFilmStack for COAT_THIN_FILM surfaces (hashable by
+    # identity), else None — the reference's ThinFilmCoating
+    # (`optiland/coatings.py:488-605`)
+    thin_films: tuple = ()
 
     @property
     def surface_indices(self):
@@ -416,6 +421,7 @@ def build_system(
     has_decenter = []
     has_aperture = []
     aperture_masks = []
+    thin_films = []
     stop_index = 0
 
     cv = np.zeros(S)
@@ -508,8 +514,17 @@ def build_system(
         if s.surface_type != "phase" or idx == 0 or idx == S - 1:
             phase_kinds.append(PHASE_NONE)
         coat = s.coating
-        if coat is None or isinstance(coat, str):
+        from optiland_tpu.thin_film.stack import ThinFilmStack
+
+        if isinstance(coat, tuple) and len(coat) == 2 \
+                and coat[0] == "thin_film":
+            coat = coat[1]
+        if isinstance(coat, ThinFilmStack):
+            coatings.append(COAT_THIN_FILM)
+            thin_films.append(coat)
+        elif coat is None or isinstance(coat, str):
             coatings.append(_COATING_BY_NAME[coat])
+            thin_films.append(None)
         else:
             kind, *cp = coat
             code = {
@@ -520,6 +535,7 @@ def build_system(
             }[kind]
             coatings.append(code)
             coating_params[idx, : len(cp)] = cp
+            thin_films.append(None)
 
         if s.is_stop:
             stop_index = idx
@@ -584,6 +600,7 @@ def build_system(
         apodization=apodization,
         newton_iters=newton_iters,
         aperture_masks=tuple(aperture_masks),
+        thin_films=tuple(thin_films),
     )
     params = SystemParams(
         cv=jnp.asarray(cv, dtype),

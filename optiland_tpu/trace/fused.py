@@ -6,14 +6,23 @@ runs the ENTIRE multi-surface trace for a tile of rays inside VMEM — forward
 in one pass, and a custom-VJP backward that re-traces the tile and
 differentiates in-register (`jax.vjp` inside the kernel body), writing only
 the final state / small parameter cotangents to HBM. That is the
-"one fused Pallas kernel per trace" design of SURVEY.md §7, restricted in
-v1 to the hot system class:
+"one fused Pallas kernel per trace" design of SURVEY.md §7, covering the
+bench-relevant system class:
 
-  supported: on-axis surfaces (no tilt/decenter/abs-CS), plane / conic /
-  even- & odd-asphere geometries, refract / reflect / none interactions,
-  radial apertures, dispersive or ideal media, per-ray wavelengths.
-  Everything else falls back to the reference-parity XLA path
+  supported: plane / conic / even- & odd-asphere geometries, tilt/decenter
+  (thickness-relative CS), refract / reflect / none interactions, radial
+  apertures, dispersive or ideal media, Beer-Lambert absorption, simple
+  (scalar R/T) coatings, per-ray wavelengths.
+  Everything else (freeforms, gratings/phase, polarized coatings, BSDFs,
+  abs-CS folds, aperture masks) falls back to the reference-parity XLA path
   (`trace/tracer.py`), which remains the semantic oracle in tests.
+
+Two entry points:
+  - `trace_final`   — final-surface state only (the optimization/bench hot
+    path; in-kernel VJP backward, no (S, N) history in HBM).
+  - `trace_history_fused` — full (S, N) history via per-surface VMEM->HBM
+    writes (forward fused; backward delegates to the XLA trace, which is
+    mathematically identical).
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ from optiland_tpu.geometry.surfaces import (
 from optiland_tpu.materials.dispersion import material_index
 from optiland_tpu.system.spec import (
     COAT_NONE,
+    COAT_SIMPLE,
     INT_NONE,
     INT_REFLECT,
     SystemParams,
@@ -43,40 +53,150 @@ _SUPPORTED_GEOMS = (GEOM_PLANE, GEOM_CONIC, GEOM_EVEN_ASPHERE,
                     GEOM_ODD_ASPHERE)
 _EPS = 1e-12
 
+# ray-tile geometry: LANE lanes x TR sublane rows per grid step
+_LANE = 128
+_TR_FWD = 32   # 4096 rays/tile
+_TR_BWD = 16   # the in-kernel VJP roughly doubles live VMEM
+
+
+def on_tpu() -> bool:
+    """Whether the default JAX backend is a TPU (incl. the tunneled 'axon'
+    platform). Pallas interpret mode on CPU is orders of magnitude slower
+    than plain XLA, so the fused kernel auto-selects only on hardware."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def _mosaic_ok(rays0) -> bool:
+    """Hardware lowering needs f32 tiles (Mosaic has no f64 vector path)."""
+    return rays0.x.dtype == jnp.float32
+
 
 def supports_fused(static: SystemStatic) -> bool:
     """Whether the fused kernel covers this system class."""
     return (
         not static.has_abs_cs
-        and not any(static.has_tilt)
-        and not any(static.has_decenter)
-        and not any(static.has_absorption)
         and all(g in _SUPPORTED_GEOMS for g in static.geom_codes)
         and all(i in (0, INT_REFLECT, INT_NONE) for i in static.interactions)
-        and all(c == COAT_NONE for c in static.coatings)
+        and all(c in (COAT_NONE, COAT_SIMPLE) for c in static.coatings)
         and all(b is None for b in static.bsdfs)
         and static.apodization is None
         and all(m is None for m in static.aperture_masks)
     )
 
 
-def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
-                mat_coeffs, ap_radius, x, y, z, L, M, N, i, opd, w):
+def _kv_interp(w, kwl, kval):
+    """Unrolled linear interpolation of the (K,)-point extinction table —
+    jnp.interp semantics (edge-clamped), float masks only (Mosaic has no
+    vector bool select on all paths)."""
+    K = kwl.shape[0]
+    lo = (w <= kwl[0]).astype(w.dtype)
+    hi = (w > kwl[K - 1]).astype(w.dtype)
+    kv = lo * kval[0] + hi * kval[K - 1]
+    for j in range(K - 1):
+        w0 = kwl[j]
+        w1 = kwl[j + 1]
+        dw = jnp.where(jnp.abs(w1 - w0) > _EPS, w1 - w0,
+                       jnp.asarray(1.0, w.dtype))
+        frac = (w - w0) / dw
+        val = kval[j] + frac * (kval[j + 1] - kval[j])
+        inseg = ((w > w0).astype(w.dtype) * (w <= w1).astype(w.dtype))
+        kv = kv + inseg * val
+    return kv
+
+
+def _sag_grad_terms(code, n_coeffs, coeffs_k, cvk, kk, r2, want_sag):
+    """Conic+polynomial sag (optional) and its radial gradient factors.
+
+    Returns (sag, gx_factor_x, gy_factor_y) where the gradient is
+    (x * fx, y * fy) for even aspheres and includes the 1/r odd terms.
+    """
+    root = jnp.sqrt(jnp.maximum(1.0 - kk * cvk * cvk * r2, _EPS))
+    s_val = cvk * r2 / (1.0 + root) if want_sag else None
+    gmul = cvk / root
+    if code == GEOM_EVEN_ASPHERE and n_coeffs:
+        rp = r2
+        rp0 = jnp.ones_like(r2)
+        g = jnp.zeros_like(r2)
+        for ci in range(n_coeffs):
+            if want_sag:
+                s_val = s_val + coeffs_k[ci] * rp
+                rp = rp * r2
+            g = g + 2.0 * (ci + 1) * coeffs_k[ci] * rp0
+            rp0 = rp0 * r2
+        return s_val, gmul + g, gmul + g, None
+    if code == GEOM_ODD_ASPHERE and n_coeffs:
+        r = jnp.sqrt(jnp.maximum(r2, _EPS))
+        rpow = r
+        rpow0 = jnp.ones_like(r)
+        g = jnp.zeros_like(r)
+        for ci in range(n_coeffs):
+            if want_sag:
+                s_val = s_val + coeffs_k[ci] * rpow
+                rpow = rpow * r
+            g = g + (ci + 1) * coeffs_k[ci] * rpow0
+            rpow0 = rpow0 * r
+        # gradient = x*gmul + (x/r)*g
+        return s_val, gmul, gmul, g / r
+    return s_val, gmul, gmul, None
+
+
+def _tile_trace(static: SystemStatic, diffp, nondiffp,
+                x, y, z, L, M, N, i, opd, w, record=False):
     """Pure per-tile trace for the supported subset — semantics identical to
-    `trace/tracer.py` (validated by parity tests)."""
+    `trace/tracer.py` (validated by parity tests).
+
+    diffp: (cv, conic, coeffs, thickness, tilt, decenter, mat_coeffs,
+            coating_params) — differentiated by the in-kernel VJP.
+    nondiffp: (ap_radius, k_wl, k_val) — closed over.
+    """
+    (cv, conic, coeffs, thickness, tilt, decenter, mat_coeffs,
+     coating_params) = diffp
+    ap_radius, k_wl, k_val = nondiffp
     S = static.num_surfaces
     pos_prev = jnp.zeros((), cv.dtype)
+    one = jnp.asarray(1.0, cv.dtype)
+    eps = jnp.asarray(_EPS, cv.dtype)
 
     def n_of(k):
         return material_index(static.mat_formulas[k], static.mat_n_coeffs[k],
                               mat_coeffs[k], w)
 
+    records = [(x, y, z, L, M, N, i, opd)] if record else None
     n_pre = n_of(0)
     for k in range(1, S):
         # vertex position from the thickness chain (differentiable)
         pos_k = pos_prev + (thickness[k - 1] if k > 1 else 0.0)
         pos_prev = pos_k
+
+        tilted = static.has_tilt[k]
+        decentered = static.has_decenter[k]
+        tx = decenter[k, 0]
+        ty = decenter[k, 1]
+        # localize (reference `coordinate_system.py:73-89`)
+        if tilted or decentered:
+            x = x - tx
+            y = y - ty
         z = z - pos_k
+        if tilted:
+            rx, ry, rz = tilt[k, 0], tilt[k, 1], tilt[k, 2]
+            for c_, s_, rot in (
+                (jnp.cos(-rz), jnp.sin(-rz), "z"),
+                (jnp.cos(-ry), jnp.sin(-ry), "y"),
+                (jnp.cos(-rx), jnp.sin(-rx), "x"),
+            ):
+                if rot == "z":
+                    x, y = x * c_ - y * s_, x * s_ + y * c_
+                    L, M = L * c_ - M * s_, L * s_ + M * c_
+                elif rot == "y":
+                    x, z = x * c_ + z * s_, -x * s_ + z * c_
+                    L, N = L * c_ + N * s_, -L * s_ + N * c_
+                else:
+                    y, z = y * c_ - z * s_, y * s_ + z * c_
+                    M, N = M * c_ - N * s_, M * s_ + N * c_
 
         code = static.geom_codes[k]
         cvk = cv[k]
@@ -92,8 +212,6 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
         # NOTE: scalar `where` branches must be dtype-matched — a weak f64
         # literal under jax_enable_x64 lowers to tpu.truncf, which Mosaic
         # cannot legalize
-        one = jnp.asarray(1.0, A.dtype)
-        eps = jnp.asarray(_EPS, A.dtype)
         A_safe = jnp.where(jnp.abs(A) > _EPS, A, one)
         t1 = (-B + sq) / (2.0 * A_safe)
         t2 = (-B - sq) / (2.0 * A_safe)
@@ -102,8 +220,7 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
         t_quad = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
         B_safe = jnp.where(jnp.abs(B) > _EPS, B, eps)
         t = jnp.where(jnp.abs(A) > _EPS, t_quad, -C / B_safe)
-        validf = jnp.where(jnp.abs(A) > _EPS, validf,
-                           jnp.ones((), A.dtype))
+        validf = jnp.where(jnp.abs(A) > _EPS, validf, one)
 
         n_coeffs = static.geom_n_coeffs[k]
         if code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE) and n_coeffs:
@@ -121,29 +238,14 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
                 yt = y + t * M
                 zt = z + t * N
                 r2 = xt * xt + yt * yt
-                root = jnp.sqrt(jnp.maximum(1.0 - kk * cvk * cvk * r2, _EPS))
-                s_val = cvk * r2 / (1.0 + root)
-                gmul = cvk / root
-                if code == GEOM_EVEN_ASPHERE:
-                    rp = r2
-                    g = jnp.zeros_like(r2)
-                    for ci in range(n_coeffs):
-                        s_val = s_val + coeffs[k, ci] * rp
-                        g = g + 2.0 * (ci + 1) * coeffs[k, ci] * (
-                            rp / jnp.maximum(r2, _EPS))
-                        rp = rp * r2
-                    gx = xt * (gmul + g)
-                    gy = yt * (gmul + g)
+                s_val, fx, fy, godd = _sag_grad_terms(
+                    code, n_coeffs, coeffs[k], cvk, kk, r2, True)
+                if godd is None:
+                    gx = xt * fx
+                    gy = yt * fy
                 else:
-                    r = jnp.sqrt(jnp.maximum(r2, _EPS))
-                    rpow = r
-                    g = jnp.zeros_like(r)
-                    for ci in range(n_coeffs):
-                        s_val = s_val + coeffs[k, ci] * rpow
-                        g = g + (ci + 1) * coeffs[k, ci] * rpow / r
-                        rpow = rpow * r
-                    gx = xt * gmul + xt / r * g
-                    gy = yt * gmul + yt / r * g
+                    gx = xt * fx + xt * godd
+                    gy = yt * fy + yt * godd
                 f = s_val - zt
                 fp = gx * L + gy * M - N
                 fp = jnp.where(jnp.abs(fp) > _EPS, fp, eps)
@@ -154,6 +256,12 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
         z = z + t * N
         opd = opd + jnp.abs(t * n_pre)
         i = i * validf
+        if static.has_absorption[k - 1]:
+            # Beer-Lambert through the medium before this surface
+            # (reference `propagation/homogeneous.py:44-53`)
+            kv = _kv_interp(w, k_wl[k - 1], k_val[k - 1])
+            alpha = 4.0 * jnp.pi * kv / w
+            i = i * jnp.exp(-alpha * t * 1e3)
         if static.has_aperture[k]:
             i = i * (x * x + y * y <= ap_radius[k] ** 2).astype(i.dtype)
 
@@ -161,29 +269,14 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
         if interaction != INT_NONE:
             # surface normal (aligned into the incident direction)
             r2 = x * x + y * y
-            root = jnp.sqrt(jnp.maximum(1.0 - kk * cvk * cvk * r2, _EPS))
-            gmul = cvk / root
-            if code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE) and n_coeffs:
-                if code == GEOM_EVEN_ASPHERE:
-                    rp = jnp.ones_like(r2)
-                    g = jnp.zeros_like(r2)
-                    for ci in range(n_coeffs):
-                        g = g + 2.0 * (ci + 1) * coeffs[k, ci] * rp
-                        rp = rp * r2
-                    gx = x * (gmul + g)
-                    gy = y * (gmul + g)
-                else:
-                    r = jnp.sqrt(jnp.maximum(r2, _EPS))
-                    rpow = jnp.ones_like(r)
-                    g = jnp.zeros_like(r)
-                    for ci in range(n_coeffs):
-                        g = g + (ci + 1) * coeffs[k, ci] * rpow
-                        rpow = rpow * r
-                    gx = x * gmul + x / r * g
-                    gy = y * gmul + y / r * g
+            _, fx, fy, godd = _sag_grad_terms(
+                code, n_coeffs, coeffs[k], cvk, kk, r2, False)
+            if godd is None:
+                gx = x * fx
+                gy = y * fy
             else:
-                gx = gmul * x
-                gy = gmul * y
+                gx = x * fx + x * godd
+                gy = y * fy + y * godd
             mag = jnp.sqrt(gx * gx + gy * gy + 1.0)
             nx, ny, nz = gx / mag, gy / mag, -1.0 / mag
 
@@ -212,32 +305,51 @@ def _tile_trace(static: SystemStatic, cv, conic, coeffs, thickness,
                 i = i * okf
             n_pre = n_post
 
-        z = z + pos_k
+            if static.coatings[k] == COAT_SIMPLE:
+                # fixed-R/T coating: intensity scale only (reference
+                # `coatings.py` SimpleCoating; T on refract, R on reflect)
+                scale = (coating_params[k, 1]
+                         if interaction == INT_REFLECT
+                         else coating_params[k, 0])
+                i = i * scale
 
+        # globalize
+        if tilted:
+            for c_, s_, rot in (
+                (jnp.cos(rx), jnp.sin(rx), "x"),
+                (jnp.cos(ry), jnp.sin(ry), "y"),
+                (jnp.cos(rz), jnp.sin(rz), "z"),
+            ):
+                if rot == "z":
+                    x, y = x * c_ - y * s_, x * s_ + y * c_
+                    L, M = L * c_ - M * s_, L * s_ + M * c_
+                elif rot == "y":
+                    x, z = x * c_ + z * s_, -x * s_ + z * c_
+                    L, N = L * c_ + N * s_, -L * s_ + N * c_
+                else:
+                    y, z = y * c_ - z * s_, y * s_ + z * c_
+                    M, N = M * c_ - N * s_, M * s_ + N * c_
+        z = z + pos_k
+        if tilted or decentered:
+            x = x + tx
+            y = y + ty
+
+        if record:
+            records.append((x, y, z, L, M, N, i, opd))
+
+    if record:
+        return records
     return x, y, z, L, M, N, i, opd
 
 
-def _ray_tree(x, y, z, L, M, N, i, opd, w):
-    return (x, y, z, L, M, N, i, opd, w)
+def _diff_params(params: SystemParams):
+    return (params.cv, params.conic, params.coeffs, params.thickness,
+            params.tilt, params.decenter, params.mat_coeffs,
+            params.coating_params)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def fused_trace_final(static: SystemStatic, interpret: bool, params,
-                      rays_flat):
-    """Final-surface ray state via the fused kernel.
-
-    Args:
-        params: (cv, conic, coeffs, thickness, mat_coeffs, ap_radius) tuple.
-        rays_flat: (x, y, z, L, M, N, i, opd, w) arrays of shape (n,).
-    Returns the 8 final arrays (x, y, z, L, M, N, i, opd).
-    """
-    return _fused_forward(static, interpret, params, rays_flat)
-
-
-def _pad_2d(a, rows, cols, fill=0.0):
-    n = a.shape[0]
-    pad = rows * cols - n
-    return jnp.pad(a, (0, pad), constant_values=fill).reshape(rows, cols)
+def _nondiff_params(params: SystemParams):
+    return (params.ap_radius, params.k_wl, params.k_val)
 
 
 def _full_spec(shape):
@@ -256,64 +368,86 @@ def _full_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _launch(static, interpret, params, rays_flat, kernel_body, n_outs,
-            extra_inputs=()):
+def _pad_2d(a, rows, cols, fill=0.0):
+    n = a.shape[0]
+    pad = rows * cols - n
+    return jnp.pad(a, (0, pad), constant_values=fill).reshape(rows, cols)
+
+
+def _grid_shapes(n, tr):
+    rows = -(-n // _LANE)
+    rows_pad = -(-rows // tr) * tr
+    return rows_pad, rows_pad // tr
+
+
+def _pad_rays(rays_flat, rows_pad):
+    # pad fills: N with 1 (unit direction) and w with 1 (keeps dispersion
+    # formulas finite in dead lanes; their cotangent seeds are zero)
+    return [_pad_2d(a, rows_pad, _LANE, fill=(1.0 if idx in (5, 8) else 0.0))
+            for idx, a in enumerate(rays_flat)]
+
+
+# ---------------------------------------------------------------------------
+# final-state kernel (custom VJP, in-kernel backward)
+# ---------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_trace_final(static: SystemStatic, interpret: bool, params,
+                      rays_flat):
+    """Final-surface ray state via the fused kernel.
+
+    Args:
+        params: (diffp_tuple, nondiffp_tuple) — see `_tile_trace`.
+        rays_flat: (x, y, z, L, M, N, i, opd, w) arrays of shape (n,).
+    Returns the 8 final arrays (x, y, z, L, M, N, i, opd).
+    """
+    return _fused_forward(static, interpret, params, rays_flat)
+
+
+def _fused_forward(static, interpret, params, rays_flat):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    cv, conic, coeffs, thickness, mat_coeffs, ap_radius = params
+    diffp, nondiffp = params
+    n_diff = len(diffp)
+    n_nondiff = len(nondiffp)
     x = rays_flat[0]
     n = x.shape[0]
-    LANE = 128
-    TR = 32  # sublane rows per tile -> 4096 rays/tile
-    tile = TR * LANE
-    rows = -(-n // LANE)
-    rows_pad = -(-rows // TR) * TR
-    grid = rows_pad // TR
+    rows_pad, grid = _grid_shapes(n, _TR_FWD)
 
-    # pad fills: N with 1 (unit direction) and w with 1 (keeps dispersion
-    # formulas finite in dead lanes; their cotangent seeds are zero)
-    ins = [_pad_2d(a, rows_pad, LANE, fill=(1.0 if idx in (5, 8) else 0.0))
-           for idx, a in enumerate(rays_flat)]
-    ins += [jnp.asarray(p) for p in
-            (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
-    ins += list(extra_inputs)
+    def kernel(*refs):
+        rays_r = refs[:9]
+        diff_r = refs[9:9 + n_diff]
+        nondiff_r = refs[9 + n_diff:9 + n_diff + n_nondiff]
+        outs = refs[9 + n_diff + n_nondiff:]
+        res = _tile_trace(static,
+                          tuple(r[:] for r in diff_r),
+                          tuple(r[:] for r in nondiff_r),
+                          *(r[:] for r in rays_r))
+        for o, v in zip(outs, res):
+            o[:] = v
 
-    # NOTE: index-map literals must be int32 — under jax_enable_x64 a bare
-    # Python 0 traces as i64, which Mosaic cannot legalize (func.return i64)
-    ray_spec = pl.BlockSpec((TR, LANE), lambda g: (g, jnp.int32(0)),
+    ins = _pad_rays(rays_flat, rows_pad)
+    ins += [jnp.asarray(p) for p in diffp]
+    ins += [jnp.asarray(p) for p in nondiffp]
+
+    ray_spec = pl.BlockSpec((_TR_FWD, _LANE), lambda g: (g, jnp.int32(0)),
                             memory_space=pltpu.VMEM)
     in_specs = ([ray_spec] * 9
-                + [_full_spec(np.shape(p)) for p in
-                   (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
-                + [ray_spec] * len(extra_inputs))
-
-    out_shape = [jax.ShapeDtypeStruct((rows_pad, LANE), x.dtype)
-                 for _ in range(n_outs)]
-    out_specs = [ray_spec] * n_outs
+                + [_full_spec(np.shape(p)) for p in diffp]
+                + [_full_spec(np.shape(p)) for p in nondiffp])
+    out_shape = [jax.ShapeDtypeStruct((rows_pad, _LANE), x.dtype)
+                 for _ in range(8)]
+    out_specs = [ray_spec] * 8
 
     outs = pl.pallas_call(
-        kernel_body,
+        kernel,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(*ins)
-    return [o.reshape(-1)[:n] for o in outs]
-
-
-def _fused_forward(static, interpret, params, rays_flat):
-    def kernel(xr, yr, zr, Lr, Mr, Nr, ir, opdr, wr,
-               cvr, conicr, coeffsr, thickr, matr, apr, *outs):
-        res = _tile_trace(static, cvr[:], conicr[:], coeffsr[:], thickr[:],
-                          matr[:], apr[:],
-                          xr[:], yr[:], zr[:], Lr[:], Mr[:], Nr[:], ir[:],
-                          opdr[:], wr[:])
-        for o, v in zip(outs, res):
-            o[:] = v
-
-    return tuple(_launch(static, interpret, params, rays_flat, kernel, 8))
+    return tuple(o.reshape(-1)[:n] for o in outs)
 
 
 def _fused_fwd(static, interpret, params, rays_flat):
@@ -322,33 +456,39 @@ def _fused_fwd(static, interpret, params, rays_flat):
 
 
 def _fused_bwd(static, interpret, res, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     params, rays_flat = res
+    diffp, nondiffp = params
+    n_diff = len(diffp)
+    n_nondiff = len(nondiffp)
 
     # in-kernel VJP: re-trace the tile and differentiate in VMEM
-    def kernel(xr, yr, zr, Lr, Mr, Nr, ir, opdr, wr,
-               cvr, conicr, coeffsr, thickr, matr, apr,
-               gx, gy, gz, gL, gM, gN, gi, gopd,
-               *outs):
-        def f(cv, conic, coeffs, thickness, mats, x, y, z, L, M, N, i, opd):
-            return _tile_trace(static, cv, conic, coeffs, thickness, mats,
-                               apr[:], x, y, z, L, M, N, i, opd, wr[:])
+    def kernel(*refs):
+        rays_r = refs[:9]
+        diff_r = refs[9:9 + n_diff]
+        nondiff_r = refs[9 + n_diff:9 + n_diff + n_nondiff]
+        seed_r = refs[9 + n_diff + n_nondiff:9 + n_diff + n_nondiff + 8]
+        outs = refs[9 + n_diff + n_nondiff + 8:]
+        w_tile = rays_r[8][:]
+        nondiff_vals = tuple(r[:] for r in nondiff_r)
 
-        _, vjp = jax.vjp(f, cvr[:], conicr[:], coeffsr[:], thickr[:],
-                         matr[:], xr[:], yr[:], zr[:], Lr[:], Mr[:], Nr[:],
-                         ir[:], opdr[:])
-        seeds = (gx[:], gy[:], gz[:], gL[:], gM[:], gN[:], gi[:], gopd[:])
-        grads = vjp(seeds)
-        # grads: d_cv, d_conic, d_coeffs, d_thickness, d_mats (small) then
-        # d_x.. d_opd (tile-sized)
-        (d_cv, d_conic, d_coeffs, d_thick, d_mats,
-         d_x, d_y, d_z, d_L, d_M, d_N, d_i, d_opd) = grads
+        def f(*args):
+            dp = args[:n_diff]
+            rays8 = args[n_diff:]
+            return _tile_trace(static, dp, nondiff_vals, *rays8, w_tile)
 
-        from jax.experimental import pallas as pl
+        _, vjp = jax.vjp(f, *(r[:] for r in diff_r),
+                         *(r[:] for r in rays_r[:8]))
+        grads = vjp(tuple(s[:] for s in seed_r))
+        d_diff = grads[:n_diff]
+        d_rays = grads[n_diff:]
 
         gidx = pl.program_id(0)
         # parameter cotangents accumulate across the sequential ray-tile grid
         small = outs[8:]
-        for o, v in zip(small, (d_cv, d_conic, d_coeffs, d_thick, d_mats)):
+        for o, v in zip(small, d_diff):
             @pl.when(gidx == 0)
             def _(o=o, v=v):
                 o[:] = v
@@ -357,42 +497,31 @@ def _fused_bwd(static, interpret, res, g):
             def _(o=o, v=v):
                 o[:] = o[:] + v
 
-        for o, v in zip(outs[:8], (d_x, d_y, d_z, d_L, d_M, d_N, d_i, d_opd)):
+        for o, v in zip(outs[:8], d_rays):
             o[:] = v
 
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    cv, conic, coeffs, thickness, mat_coeffs, ap_radius = params
     x = rays_flat[0]
     n = x.shape[0]
-    LANE = 128
-    TR = 32
-    rows = -(-n // LANE)
-    rows_pad = -(-rows // TR) * TR
-    grid = rows_pad // TR
+    rows_pad, grid = _grid_shapes(n, _TR_BWD)
 
-    ins = [_pad_2d(a, rows_pad, LANE, fill=(1.0 if idx in (5, 8) else 0.0))
-           for idx, a in enumerate(rays_flat)]
-    ins += [jnp.asarray(p) for p in
-            (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
+    ins = _pad_rays(rays_flat, rows_pad)
+    ins += [jnp.asarray(p) for p in diffp]
+    ins += [jnp.asarray(p) for p in nondiffp]
     gsafe = [jnp.zeros_like(x) if gg is None else gg for gg in g]
-    ins += [_pad_2d(a, rows_pad, LANE) for a in gsafe]
+    ins += [_pad_2d(a, rows_pad, _LANE) for a in gsafe]
 
-    ray_spec = pl.BlockSpec((TR, LANE), lambda gq: (gq, jnp.int32(0)),
+    ray_spec = pl.BlockSpec((_TR_BWD, _LANE), lambda gq: (gq, jnp.int32(0)),
                             memory_space=pltpu.VMEM)
-
     in_specs = ([ray_spec] * 9
-                + [_full_spec(np.shape(p)) for p in
-                   (cv, conic, coeffs, thickness, mat_coeffs, ap_radius)]
+                + [_full_spec(np.shape(p)) for p in diffp]
+                + [_full_spec(np.shape(p)) for p in nondiffp]
                 + [ray_spec] * 8)
-    out_shape = ([jax.ShapeDtypeStruct((rows_pad, LANE), x.dtype)
+    out_shape = ([jax.ShapeDtypeStruct((rows_pad, _LANE), x.dtype)
                   for _ in range(8)]
                  + [jax.ShapeDtypeStruct(np.shape(p), x.dtype)
-                    for p in (cv, conic, coeffs, thickness, mat_coeffs)])
+                    for p in diffp])
     out_specs = ([ray_spec] * 8
-                 + [_full_spec(np.shape(p)) for p in
-                    (cv, conic, coeffs, thickness, mat_coeffs)])
+                 + [_full_spec(np.shape(p)) for p in diffp])
 
     outs = pl.pallas_call(
         kernel,
@@ -404,9 +533,10 @@ def _fused_bwd(static, interpret, res, g):
     )(*ins)
 
     d_rays = tuple(o.reshape(-1)[:n] for o in outs[:8])
-    d_params = tuple(outs[8:]) + (jnp.zeros_like(jnp.asarray(ap_radius)),)
+    d_diff = tuple(outs[8:])
+    d_nondiff = tuple(jnp.zeros_like(jnp.asarray(p)) for p in nondiffp)
     d_w = jnp.zeros_like(rays_flat[8])
-    return d_params, d_rays + (d_w,)
+    return (d_diff, d_nondiff), d_rays + (d_w,)
 
 
 fused_trace_final.defvjp(_fused_fwd, _fused_bwd)
@@ -416,9 +546,9 @@ def trace_final(static: SystemStatic, params: SystemParams, rays0,
                 interpret: bool = False):
     """Final-surface ray state: fused Pallas kernel when supported, XLA
     fallback otherwise. Returns a dict with x/y/z/L/M/N/intensity/opd."""
-    if supports_fused(static):
-        p = (params.cv, params.conic, params.coeffs, params.thickness,
-             params.mat_coeffs, params.ap_radius)
+    if (supports_fused(static) and getattr(rays0, "p", None) is None
+            and (interpret or _mosaic_ok(rays0))):
+        p = (_diff_params(params), _nondiff_params(params))
         r = (rays0.x, rays0.y, rays0.z, rays0.L, rays0.M, rays0.N, rays0.i,
              rays0.opd, rays0.w)
         x, y, z, L, M, N, i, opd = fused_trace_final(static, interpret, p, r)
@@ -428,3 +558,131 @@ def trace_final(static: SystemStatic, params: SystemParams, rays0,
     h = trace_rays(static, params, rays0)
     return dict(x=h.x[-1], y=h.y[-1], z=h.z[-1], L=h.L[-1], M=h.M[-1],
                 N=h.N[-1], intensity=h.intensity[-1], opd=h.opd[-1])
+
+
+# ---------------------------------------------------------------------------
+# full-history kernel (forward fused; backward = XLA re-trace VJP)
+# ---------------------------------------------------------------------------
+def _history_forward(static, interpret, params, rays_flat):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    diffp, nondiffp = params
+    n_diff = len(diffp)
+    n_nondiff = len(nondiffp)
+    S = static.num_surfaces
+    x = rays_flat[0]
+    n = x.shape[0]
+    rows_pad, grid = _grid_shapes(n, _TR_FWD)
+
+    def kernel(*refs):
+        rays_r = refs[:9]
+        diff_r = refs[9:9 + n_diff]
+        nondiff_r = refs[9 + n_diff:9 + n_diff + n_nondiff]
+        outs = refs[9 + n_diff + n_nondiff:]  # 8 refs of (S, TR, LANE)
+        records = _tile_trace(static,
+                              tuple(r[:] for r in diff_r),
+                              tuple(r[:] for r in nondiff_r),
+                              *(r[:] for r in rays_r), record=True)
+        for k, rec in enumerate(records):
+            for o, v in zip(outs, rec):
+                o[k, :, :] = v
+
+    ins = _pad_rays(rays_flat, rows_pad)
+    ins += [jnp.asarray(p) for p in diffp]
+    ins += [jnp.asarray(p) for p in nondiffp]
+
+    ray_spec = pl.BlockSpec((_TR_FWD, _LANE), lambda g: (g, jnp.int32(0)),
+                            memory_space=pltpu.VMEM)
+    hist_spec = pl.BlockSpec(
+        (S, _TR_FWD, _LANE),
+        lambda g: (jnp.int32(0), g, jnp.int32(0)),
+        memory_space=pltpu.VMEM)
+    in_specs = ([ray_spec] * 9
+                + [_full_spec(np.shape(p)) for p in diffp]
+                + [_full_spec(np.shape(p)) for p in nondiffp])
+    out_shape = [jax.ShapeDtypeStruct((S, rows_pad, _LANE), x.dtype)
+                 for _ in range(8)]
+    out_specs = [hist_spec] * 8
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    return tuple(o.reshape(S, -1)[:, :n] for o in outs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_history(static, interpret, params, rays_flat):
+    return _history_forward(static, interpret, params, rays_flat)
+
+
+def _hist_xla(static, params, rays_flat):
+    """The XLA trace on the same (diffp, nondiffp) parameterization —
+    the mathematical twin of the fused forward, used for its backward."""
+    from optiland_tpu.core.rays import Rays
+    from optiland_tpu.trace.tracer import trace_rays
+
+    diffp, nondiffp = params
+    (cv, conic, coeffs, thickness, tilt, decenter, mat_coeffs,
+     coating_params) = diffp
+    ap_radius, k_wl, k_val = nondiffp
+    # rebuild a SystemParams with the traced leaves; remaining leaves are
+    # placeholders never touched by the supported system class
+    p = SystemParams(
+        cv=cv, conic=conic, coeffs=coeffs, thickness=thickness, tilt=tilt,
+        decenter=decenter, focal_length=jnp.zeros_like(cv),
+        mat_coeffs=mat_coeffs, k_wl=k_wl, k_val=k_val, ap_radius=ap_radius,
+        grating=jnp.zeros((cv.shape[0], 3), cv.dtype),
+        coating_params=coating_params,
+        phase_params=jnp.zeros((cv.shape[0], 8), cv.dtype),
+        cs_pos=jnp.zeros((cv.shape[0], 3), cv.dtype),
+        aperture_value=jnp.zeros((), cv.dtype),
+        x_fields=jnp.zeros((1,), cv.dtype), y_fields=jnp.zeros((1,), cv.dtype),
+        vx=jnp.zeros((1,), cv.dtype), vy=jnp.zeros((1,), cv.dtype),
+        wavelengths=jnp.zeros((1,), cv.dtype),
+    )
+    rays0 = Rays(x=rays_flat[0], y=rays_flat[1], z=rays_flat[2],
+                 L=rays_flat[3], M=rays_flat[4], N=rays_flat[5],
+                 i=rays_flat[6], opd=rays_flat[7], w=rays_flat[8])
+    h = trace_rays(static, p, rays0)
+    return (h.x, h.y, h.z, h.L, h.M, h.N, h.intensity, h.opd)
+
+
+def _fused_history_fwd(static, interpret, params, rays_flat):
+    out = _history_forward(static, interpret, params, rays_flat)
+    return out, (params, rays_flat)
+
+
+def _fused_history_bwd(static, interpret, res, g):
+    params, rays_flat = res
+    _, vjp = jax.vjp(lambda p, r: _hist_xla(static, p, r), params, rays_flat)
+    gsafe = tuple(
+        jnp.zeros((static.num_surfaces, rays_flat[0].shape[0]),
+                  rays_flat[0].dtype) if gg is None else gg for gg in g)
+    d_params, d_rays = vjp(gsafe)
+    return d_params, d_rays
+
+
+_fused_history.defvjp(_fused_history_fwd, _fused_history_bwd)
+
+
+def trace_history_fused(static: SystemStatic, params: SystemParams, rays0,
+                        interpret: bool = False):
+    """Full (S, N) TraceHistory via the fused kernel (XLA fallback when the
+    system class is unsupported). Gradients flow via the XLA twin."""
+    from optiland_tpu.trace.tracer import TraceHistory, trace_rays
+
+    if (supports_fused(static) and getattr(rays0, "p", None) is None
+            and (interpret or _mosaic_ok(rays0))):
+        p = (_diff_params(params), _nondiff_params(params))
+        r = (rays0.x, rays0.y, rays0.z, rays0.L, rays0.M, rays0.N, rays0.i,
+             rays0.opd, rays0.w)
+        x, y, z, L, M, N, i, opd = _fused_history(static, interpret, p, r)
+        return TraceHistory(x=x, y=y, z=z, L=L, M=M, N=N, intensity=i,
+                            opd=opd, p=None)
+    return trace_rays(static, params, rays0)

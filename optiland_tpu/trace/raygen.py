@@ -32,7 +32,13 @@ def vignetting_factors(static: SystemStatic, params: SystemParams, Hx, Hy):
     # distance from each query to each defined field: (N, F)
     d2 = (Hx[..., None] - fx) ** 2 + (Hy[..., None] - fy) ** 2
     idx = jnp.argmin(d2, axis=-1)
-    return params.vx[idx], params.vy[idx]
+    # one-hot contraction instead of a gather: the gather's backward is a
+    # 2M-element scatter-add into (F,), which costs ~35 ms/step on TPU and
+    # dominated the whole bench pipeline; the one-hot matvec backward is a
+    # pair of F-length reductions
+    onehot = (idx[:, None] == jnp.arange(params.vx.shape[0])).astype(
+        params.vx.dtype)
+    return onehot @ params.vx, onehot @ params.vy
 
 
 def _ray_origins(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,

@@ -172,6 +172,7 @@ def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
         COAT_POLARIZER_V,
         COAT_RETARDER,
         COAT_SIMPLE,
+        COAT_THIN_FILM,
     )
 
     coat = static.coatings[k]
@@ -193,7 +194,7 @@ def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
 
     if coat == COAT_NONE:
         jm = None
-    elif coat == COAT_FRESNEL:
+    elif coat in (COAT_FRESNEL, COAT_THIN_FILM):
         nxv, nyv, nzv = surface_normal(
             static.geom_codes[k], static.geom_n_coeffs[k], rays.x, rays.y,
             params.cv[k], params.conic[k], params.coeffs[k],
@@ -201,7 +202,14 @@ def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
         )
         dot = jnp.abs(nxv * k0_dirs[0] + nyv * k0_dirs[1] + nzv * k0_dirs[2])
         aoi = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
-        jm = J.fresnel(k0, k1, aoi, n1, n2, reflect=reflective)
+        if coat == COAT_THIN_FILM:
+            # TMM-backed surface coating (reference ThinFilmCoating,
+            # `optiland/coatings.py:488-605`): diagonal s/p Jones from the
+            # stack's complex amplitude coefficients at the per-ray AOI
+            jm = static.thin_films[k].jones_matrices(
+                k0, k1, rays.w, aoi, reflect=reflective)
+        else:
+            jm = J.fresnel(k0, k1, aoi, n1, n2, reflect=reflective)
     elif coat == COAT_POLARIZER_H:
         jm = J.polarizer_h(k0, k1)
     elif coat == COAT_POLARIZER_V:
@@ -455,6 +463,28 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
     )
 
 
+def trace_system_final(static: SystemStatic, params: SystemParams, Hx, Hy,
+                       Px, Py, wavelength, apply_vignetting: bool = True):
+    """Generate + aim + trace, returning ONLY the final-surface state.
+
+    This is the optimization/bench hot path: when the system class is
+    supported and we're on TPU hardware, the whole surface chain runs as
+    one fused Pallas kernel (`trace/fused.py`) — no (S, N) history is
+    materialized in HBM and the backward differentiates in-register.
+    Falls back to the XLA tracer otherwise. Returns a dict with
+    x/y/z/L/M/N/intensity/opd arrays of shape (N,).
+    """
+    from optiland_tpu.trace.fused import on_tpu, supports_fused, trace_final
+
+    rays0 = generate_rays(static, params, Hx, Hy, Px, Py, wavelength,
+                          apply_vignetting=apply_vignetting)
+    if supports_fused(static) and on_tpu():
+        return trace_final(static, params, rays0)
+    h = trace_rays(static, params, rays0)
+    return dict(x=h.x[-1], y=h.y[-1], z=h.z[-1], L=h.L[-1], M=h.M[-1],
+                N=h.N[-1], intensity=h.intensity[-1], opd=h.opd[-1])
+
+
 def trace_system(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
                  wavelength, apply_vignetting: bool = True,
                  polarization=None) -> TraceHistory:
@@ -469,7 +499,16 @@ def trace_system(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     rays0 = generate_rays(static, params, Hx, Hy, Px, Py, wavelength,
                           apply_vignetting=apply_vignetting,
                           polarized=polarization is not None)
-    hist = trace_rays(static, params, rays0)
+    from optiland_tpu.trace.fused import (
+        on_tpu,
+        supports_fused,
+        trace_history_fused,
+    )
+
+    if polarization is None and supports_fused(static) and on_tpu():
+        hist = trace_history_fused(static, params, rays0)
+    else:
+        hist = trace_rays(static, params, rays0)
     if polarization is not None:
         from optiland_tpu.polarization.prt import intensity_from_prt
 

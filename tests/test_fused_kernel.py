@@ -1,4 +1,12 @@
-"""Fused Pallas trace kernel: parity with the XLA tracer (interpret mode)."""
+"""Fused Pallas trace kernel: parity with the XLA tracer (interpret mode).
+
+The XLA tracer (`trace/tracer.py`) is the reference-parity semantic oracle;
+these tests pin the fused kernel to it over the full supported system class:
+conic/asphere geometries, tilt/decenter, absorption, mirrors, simple
+coatings. Hardware lowering is exercised by `bench.py` on the real chip.
+"""
+
+import math
 
 import numpy as np
 import pytest
@@ -7,14 +15,17 @@ import jax
 import jax.numpy as jnp
 
 import optiland_tpu  # noqa: F401
-from optiland_tpu.trace.fused import supports_fused, trace_final
+from optiland_tpu.trace.fused import (
+    supports_fused,
+    trace_final,
+    trace_history_fused,
+)
 from optiland_tpu.trace.raygen import generate_rays
 from optiland_tpu.trace.tracer import trace_rays
 
 
-def _singlet(newton_iters=4, asphere=False):
-    import math
-
+def _singlet(newton_iters=4, asphere=False, tilt=False, decenter=False,
+             mirror=False, coating=None):
     from optiland_tpu.system.optic import Optic
 
     lens = Optic()
@@ -22,10 +33,24 @@ def _singlet(newton_iters=4, asphere=False):
     kw = {}
     if asphere:
         kw = dict(surface_type="even_asphere", coefficients=(1e-6, -1e-9))
-    lens.add_surface(index=1, radius=50.0, thickness=5.0, material=1.52,
-                     is_stop=True, **kw)
-    lens.add_surface(index=2, radius=-50.0, thickness=47.0)
-    lens.add_surface(index=3)
+    if tilt:
+        kw["rx"] = 0.02
+        kw["ry"] = -0.01
+    if decenter:
+        kw["dx"] = 0.3
+        kw["dy"] = -0.2
+    if coating is not None:
+        kw["coating"] = coating
+    if mirror:
+        lens.add_surface(index=1, radius=-100.0, material="mirror",
+                         is_stop=True, thickness=-40.0, **kw)
+        lens.add_surface(index=2, radius=math.inf, thickness=0.0)
+        lens.add_surface(index=3)
+    else:
+        lens.add_surface(index=1, radius=50.0, thickness=5.0, material=1.52,
+                         is_stop=True, **kw)
+        lens.add_surface(index=2, radius=-50.0, thickness=47.0)
+        lens.add_surface(index=3)
     lens.set_aperture("EPD", 10.0)
     lens.add_wavelength(0.55, is_primary=True)
     lens.build()
@@ -36,13 +61,26 @@ def _singlet(newton_iters=4, asphere=False):
     return lens
 
 
-def _rays(static, params, n=256):
+def _rays(static, params, n=256, w=0.55):
     rng = np.random.default_rng(0)
     Px = jnp.asarray(rng.uniform(-1, 1, n))
     Py = jnp.asarray(rng.uniform(-1, 1, n))
     H0 = jnp.zeros(n)
-    w = jnp.full((n,), 0.55)
-    return generate_rays(static, params, H0, H0, Px, Py, w)
+    wv = jnp.full((n,), w)
+    return generate_rays(static, params, H0, H0, Px, Py, wv)
+
+
+def _assert_final_parity(static, params, rays0, atol=1e-9):
+    ref = trace_rays(static, params, rays0)
+    got = trace_final(static, params, rays0, interpret=True)
+    for name, col in (("x", ref.x), ("y", ref.y), ("z", ref.z),
+                      ("L", ref.L), ("M", ref.M), ("N", ref.N),
+                      ("opd", ref.opd)):
+        np.testing.assert_allclose(np.asarray(got[name]),
+                                   np.asarray(col[-1]), atol=atol,
+                                   err_msg=name)
+    np.testing.assert_allclose(np.asarray(got["intensity"]),
+                               np.asarray(ref.intensity[-1]), atol=1e-9)
 
 
 @pytest.mark.parametrize("asphere", [False, True])
@@ -50,17 +88,47 @@ def test_fused_forward_parity(asphere):
     lens = _singlet(asphere=asphere)
     static, params = lens.build()
     assert supports_fused(static)
+    _assert_final_parity(static, params, _rays(static, params))
+
+
+@pytest.mark.parametrize("kind", ["tilt", "decenter", "both"])
+def test_fused_tilt_decenter_parity(kind):
+    lens = _singlet(tilt=kind in ("tilt", "both"),
+                    decenter=kind in ("decenter", "both"))
+    static, params = lens.build()
+    assert supports_fused(static)
+    _assert_final_parity(static, params, _rays(static, params))
+
+
+def test_fused_mirror_parity():
+    lens = _singlet(mirror=True)
+    static, params = lens.build()
+    assert supports_fused(static)
+    _assert_final_parity(static, params, _rays(static, params))
+
+
+def test_fused_simple_coating_parity():
+    lens = _singlet(coating=("simple", 0.9, 0.05))
+    static, params = lens.build()
+    assert supports_fused(static)
     rays0 = _rays(static, params)
-    ref = trace_rays(static, params, rays0)
-    got = trace_final(static, params, rays0, interpret=True)
-    np.testing.assert_allclose(np.asarray(got["x"]), np.asarray(ref.x[-1]),
-                               atol=1e-9)
-    np.testing.assert_allclose(np.asarray(got["y"]), np.asarray(ref.y[-1]),
-                               atol=1e-9)
-    np.testing.assert_allclose(np.asarray(got["opd"]),
-                               np.asarray(ref.opd[-1]), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(got["intensity"]),
-                               np.asarray(ref.intensity[-1]), atol=1e-12)
+    _assert_final_parity(static, params, rays0)
+    # the coating actually bites
+    out = trace_final(static, params, rays0, interpret=True)
+    assert float(jnp.max(out["intensity"])) <= 0.9 + 1e-9
+
+
+def test_fused_absorption_parity():
+    """Real-glass sample lenses carry tabulated extinction -> Beer-Lambert
+    attenuation must match the XLA tracer's jnp.interp path."""
+    from optiland_tpu.models import CookeTriplet
+
+    lens = CookeTriplet()
+    static, params = lens.build()
+    assert any(static.has_absorption)
+    assert supports_fused(static)
+    rays0 = _rays(static, params, n=256, w=0.55)
+    _assert_final_parity(static, params, rays0, atol=1e-8)
 
 
 def test_fused_backward_parity():
@@ -86,16 +154,73 @@ def test_fused_backward_parity():
                                    err_msg=name)
 
 
-def test_fused_fallback_for_unsupported():
-    """Tilted systems fall back to the XLA path transparently."""
-    import math
+def test_fused_backward_parity_tilted_asphere():
+    lens = _singlet(newton_iters=8, asphere=True, tilt=True, decenter=True)
+    static, params = lens.build()
+    rays0 = jax.lax.stop_gradient(_rays(static, params, n=128))
 
+    def m_fused(p):
+        out = trace_final(static, p, rays0, interpret=True)
+        return jnp.sum(out["x"] ** 2 + out["y"] ** 2)
+
+    def m_xla(p):
+        h = trace_rays(static, p, rays0)
+        return jnp.sum(h.x[-1] ** 2 + h.y[-1] ** 2)
+
+    gf = jax.grad(m_fused)(params)
+    gx = jax.grad(m_xla)(params)
+    for name in ("cv", "conic", "thickness", "coeffs", "tilt", "decenter"):
+        a = np.asarray(getattr(gf, name))
+        b = np.asarray(getattr(gx, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-6,
+                                   err_msg=name)
+
+
+def test_fused_history_parity():
+    """The history kernel reproduces the XLA tracer's full (S, N) records."""
+    lens = _singlet(asphere=True, tilt=True)
+    static, params = lens.build()
+    rays0 = _rays(static, params, n=200)
+    ref = trace_rays(static, params, rays0)
+    got = trace_history_fused(static, params, rays0, interpret=True)
+    assert got.x.shape == ref.x.shape
+    for name in ("x", "y", "z", "L", "M", "N", "intensity", "opd"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)),
+                                   atol=1e-9, err_msg=name)
+
+
+def test_fused_history_grad_via_xla_twin():
+    """Gradients through the history path flow via the XLA twin's VJP."""
+    lens = _singlet()
+    static, params = lens.build()
+    rays0 = jax.lax.stop_gradient(_rays(static, params, n=64))
+
+    def m_fused(p):
+        h = trace_history_fused(static, p, rays0, interpret=True)
+        return jnp.sum(h.y ** 2)
+
+    def m_xla(p):
+        h = trace_rays(static, p, rays0)
+        return jnp.sum(h.y ** 2)
+
+    gf = jax.grad(m_fused)(params)
+    gx = jax.grad(m_xla)(params)
+    np.testing.assert_allclose(np.asarray(gf.cv), np.asarray(gx.cv),
+                               rtol=1e-9)
+
+
+def test_fused_fallback_for_unsupported():
+    """Freeform/grating systems fall back to the XLA path transparently."""
     from optiland_tpu.system.optic import Optic
 
     lens = Optic()
     lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
     lens.add_surface(index=1, radius=50.0, thickness=5.0, material=1.5,
-                     is_stop=True, rx=0.01)
+                     is_stop=True, surface_type="chebyshev",
+                     geom_params={"coefficients": [[0.0, 1e-5]],
+                                  "norm_x": 10.0, "norm_y": 10.0})
     lens.add_surface(index=2)
     lens.set_aperture("EPD", 5.0)
     lens.add_wavelength(0.55)
@@ -105,3 +230,5 @@ def test_fused_fallback_for_unsupported():
     out = trace_final(static, params, rays0)
     ref = trace_rays(static, params, rays0)
     np.testing.assert_allclose(np.asarray(out["y"]), np.asarray(ref.y[-1]))
+    hist = trace_history_fused(static, params, rays0)
+    np.testing.assert_allclose(np.asarray(hist.y), np.asarray(ref.y))

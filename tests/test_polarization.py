@@ -176,3 +176,109 @@ def test_simple_coating_scales_intensity():
     lens.add_wavelength(0.55, is_primary=True)
     hist = lens.trace(num_rays=3)
     np.testing.assert_allclose(np.asarray(hist.intensity[-1]), 0.5)
+
+
+def test_polarized_trace_with_thin_film_coating(reference):
+    """TMM-backed ThinFilmCoating on a singlet: polarized intensity parity
+    vs the reference (`optiland/coatings.py:488-605`)."""
+    from optiland import coatings as ref_coatings
+    from optiland import materials as ref_materials
+    from optiland.rays.polarization_state import PolarizationState as RefState
+
+    air = ref_materials.IdealMaterial(n=1.0)
+    glass = ref_materials.IdealMaterial(n=1.5)
+    mgf2 = ref_materials.IdealMaterial(n=1.38)
+
+    def ref_coat():
+        return ref_coatings.ThinFilmCoating(
+            material_pre=air, material_post=glass,
+            layers=[(mgf2, 100.0, "MgF2")])
+
+    from optiland.optic import Optic as RefOptic
+
+    ref = RefOptic()
+    ref.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    ref.add_surface(index=1, radius=50.0, thickness=5.0, material=glass,
+                    is_stop=True, coating=ref_coat())
+    ref.add_surface(index=2, radius=-50.0, thickness=47.0)
+    ref.add_surface(index=3)
+    ref.set_aperture(aperture_type="EPD", value=10.0)
+    ref.set_field_type(field_type="angle")
+    ref.add_field(y=0)
+    ref.add_wavelength(value=0.55, is_primary=True)
+    ref.polarization = RefState(is_polarized=True, Ex=0.6, Ey=0.8,
+                                phase_x=0.0, phase_y=0.5)
+    ref_rays = ref.trace(Hx=0.0, Hy=0.0, wavelength=0.55, num_rays=4,
+                         distribution="hexapolar")
+    ref_i = np.asarray(ref_rays.i)
+
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.thin_film.stack import ThinFilmStack
+
+    stack = ThinFilmStack(1.0, 1.5).add_layer_nm(1.38, 100.0)
+    lens = Optic()
+    lens.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    lens.add_surface(index=1, radius=50.0, thickness=5.0, material=1.5,
+                     is_stop=True, coating=stack)
+    lens.add_surface(index=2, radius=-50.0, thickness=47.0)
+    lens.add_surface(index=3)
+    lens.set_aperture("EPD", 10.0)
+    lens.set_field_type("angle")
+    lens.add_field(y=0)
+    lens.add_wavelength(0.55, is_primary=True)
+    lens.set_polarization(PolarizationState(True, 0.6, 0.8, 0.0, 0.5))
+    hist = lens.trace(Hx=0.0, Hy=0.0, wavelength=0.55, num_rays=4)
+    got_i = np.asarray(hist.intensity[-1])
+    # the coating visibly attenuates (not a no-op) and matches the reference
+    assert np.all(got_i < 1.0)
+    np.testing.assert_allclose(got_i, ref_i, rtol=1e-8, atol=1e-10)
+
+
+def test_thin_film_coating_reflective_parity(reference):
+    """ThinFilmCoating on a mirror: R-side Jones parity vs reference."""
+    from optiland import coatings as ref_coatings
+    from optiland import materials as ref_materials
+    from optiland.rays.polarization_state import PolarizationState as RefState
+
+    air = ref_materials.IdealMaterial(n=1.0)
+    mgf2 = ref_materials.IdealMaterial(n=1.38)
+
+    from optiland.optic import Optic as RefOptic
+
+    ref = RefOptic()
+    ref.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    ref.add_surface(index=1, radius=-100.0, material="mirror", is_stop=True,
+                    thickness=-40.0,
+                    coating=ref_coatings.ThinFilmCoating(
+                        material_pre=air, material_post=air,
+                        layers=[(mgf2, 120.0, "L1")]))
+    ref.add_surface(index=2, radius=np.inf, thickness=0.0)
+    ref.add_surface(index=3)
+    ref.set_aperture(aperture_type="EPD", value=10.0)
+    ref.set_field_type(field_type="angle")
+    ref.add_field(y=0)
+    ref.add_wavelength(value=0.55, is_primary=True)
+    ref.polarization = RefState(is_polarized=True, Ex=1.0, Ey=0.0,
+                                phase_x=0.0, phase_y=0.0)
+    ref_rays = ref.trace(Hx=0.0, Hy=0.0, wavelength=0.55, num_rays=4,
+                         distribution="hexapolar")
+    ref_i = np.asarray(ref_rays.i)
+
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.thin_film.stack import ThinFilmStack
+
+    stack = ThinFilmStack(1.0, 1.0).add_layer_nm(1.38, 120.0)
+    lens = Optic()
+    lens.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    lens.add_surface(index=1, radius=-100.0, material="mirror", is_stop=True,
+                     thickness=-40.0, coating=stack)
+    lens.add_surface(index=2, radius=np.inf, thickness=0.0)
+    lens.add_surface(index=3)
+    lens.set_aperture("EPD", 10.0)
+    lens.set_field_type("angle")
+    lens.add_field(y=0)
+    lens.add_wavelength(0.55, is_primary=True)
+    lens.set_polarization(PolarizationState(True, 1.0, 0.0, 0.0, 0.0))
+    hist = lens.trace(Hx=0.0, Hy=0.0, wavelength=0.55, num_rays=4)
+    got_i = np.asarray(hist.intensity[-1])
+    np.testing.assert_allclose(got_i, ref_i, rtol=1e-8, atol=1e-10)
