@@ -64,6 +64,10 @@ def load_zemax_file(path: str) -> Optic:
             elif key == "OBNA":
                 aperture_type, aperture_value = "objectNA", _parse_float(t[1])
                 obj_na = aperture_value
+            elif key == "FLOA":
+                # floating stop: sized by the stop surface's DIAM
+                # (reference `fileio/zemax/reader/converter.py:267-279`)
+                aperture_type = "float_by_stop"
             elif key == "FTYP":
                 # field type: 0 angle, 1 object height, 2/3 image height
                 ft = int(t[1])
@@ -103,6 +107,8 @@ def load_zemax_file(path: str) -> Optic:
                 nd = float(t[4]) if len(t) > 4 else None
                 vd = float(t[5]) if len(t) > 5 else None
                 cur["glass"] = (name, nd, vd)
+        elif key == "COAT":
+            cur["coating"] = t[1] if len(t) > 1 else None
         elif key == "STOP":
             cur["is_stop"] = True
         elif key == "MIRROR":
@@ -130,11 +136,18 @@ def load_zemax_file(path: str) -> Optic:
     t_cum = np.zeros(3)
 
     def _euler_from_R(R):
-        # R = Rz(rz) @ Ry(ry) @ Rx(rx)
-        ry = math.asin(-min(1.0, max(-1.0, R[2, 0])))
-        rx = math.atan2(R[2, 1], R[2, 2])
-        rz = math.atan2(R[1, 0], R[0, 0])
-        return rx, ry, rz
+        # R = Rz(rz) @ Ry(ry) @ Rx(rx). Use scipy's extrinsic-xyz
+        # decomposition — the SAME convention (incl. the gimbal-lock
+        # third-angle-to-zero choice at 90-degree folds) as the reference
+        # (`coordinate_system.py:182`), so CB chains match exactly.
+        import warnings
+
+        from scipy.spatial.transform import Rotation
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rx, ry, rz = Rotation.from_matrix(np.asarray(R)).as_euler("xyz")
+        return float(rx), float(ry), float(rz)
 
     out_idx = 0
     for idx in range(n_surf):
@@ -152,6 +165,11 @@ def load_zemax_file(path: str) -> Optic:
             continue
 
         radius = math.inf if s["curv"] == 0 else 1.0 / s["curv"]
+        if s["type"] == "TOROIDAL":
+            # Zemax toroidal: CURV = Y-curve, PARM 1 = rotation (X) radius
+            # (0 -> flat/cylinder), PARM 2.. = Y-polynomial (reference
+            # `fileio/zemax/surfaces.py:376-398`)
+            radius = s["parm"].get(1, 0.0) or math.inf
         mat = "air"
         if s["mirror"]:
             mat = "mirror"
@@ -162,16 +180,31 @@ def load_zemax_file(path: str) -> Optic:
             except KeyError:
                 if nd is not None and vd:
                     mat = abbe_material(nd, vd)
+                elif nd is not None and nd > 0:
+                    # MODEL glass with V=0: constant-index material (our
+                    # writer emits ideal media this way)
+                    mat = resolve_material(nd)
                 else:
                     raise
         kwargs = {}
         surface_type = "standard"
-        if s["type"] == "EVENASPH":
-            surface_type = "even_asphere"
-            pk = sorted(s["parm"])
-            kwargs["coefficients"] = [s["parm"][p] for p in pk]
+        if s["type"] in ("EVENASPH", "ODDASPHE"):
+            surface_type = ("even_asphere" if s["type"] == "EVENASPH"
+                            else "odd_asphere")
+            # PARM i is the i-th polynomial coefficient; files (and our
+            # writer) may omit zero terms, so gap-fill by index
+            pk = s["parm"]
+            top = max(pk) if pk else 0
+            kwargs["coefficients"] = [pk.get(i, 0.0)
+                                      for i in range(1, top + 1)]
         elif s["type"] == "TOROIDAL":
             surface_type = "toroidal"
+            ry = math.inf if s["curv"] == 0 else 1.0 / s["curv"]
+            poly = [s["parm"].get(k, 0.0) for k in range(2, 10)]
+            while poly and poly[-1] == 0.0:
+                poly.pop()
+            kwargs["radius_y"] = ry
+            kwargs["coeffs_poly_y"] = poly
         spec = lens.add_surface(
             index=out_idx, radius=radius, thickness=s["disz"],
             conic=s["conic"], material=mat, is_stop=s["is_stop"],
@@ -188,6 +221,15 @@ def load_zemax_file(path: str) -> Optic:
 
     if aperture_type is None:
         aperture_type, aperture_value = "EPD", 10.0
+    if aperture_type == "float_by_stop":
+        stop_diam = next(
+            (surfaces[i]["diam"] for i in sorted(surfaces)
+             if surfaces[i]["is_stop"] and surfaces[i]["diam"] is not None),
+            None)
+        if stop_diam is None:
+            raise ValueError(
+                "Floating stop aperture specified but no stop diameter found")
+        aperture_value = stop_diam
     lens.set_aperture(aperture_type, aperture_value)
     del obj_na
 
@@ -209,3 +251,147 @@ def load_zemax_file(path: str) -> Optic:
 
 
 _ = re  # parsing is token-based; regex kept for future block formats
+
+
+# ---------------------------------------------------------------------------
+# writer (reference `optiland/fileio/zemax/writer/{formatter,encoder,
+# exporter}.py`: Optic -> data model -> text lines -> UTF-16 file)
+# ---------------------------------------------------------------------------
+_AP_TO_OPERAND = {"EPD": "ENPD", "imageFNO": "FNUM", "objectNA": "OBNA",
+                  "float_by_stop": "FLOA"}
+_FTYP_INT = {"angle": 0, "object_height": 1, "paraxial_image_height": 2,
+             "real_image_height": 3}
+_TYPE_TO_ZMX = {"standard": "STANDARD", "plane": "STANDARD",
+                "even_asphere": "EVENASPH", "odd_asphere": "ODDASPHE",
+                "toroidal": "TOROIDAL"}
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.8E}"
+
+
+def material_nd_vd(mat) -> tuple[float, float]:
+    """(n_d, V_d) of a MaterialSpec, evaluated at the d/F/C lines."""
+    import numpy as np
+
+    from optiland_tpu.materials.dispersion import material_index
+
+    import jax.numpy as jnp
+
+    w = jnp.asarray([0.5875618, 0.4861327, 0.6562725])
+    n = np.asarray(material_index(mat.formula, mat.n_coeffs,
+                                  jnp.asarray(mat.coefficients), w))
+    nd, nF, nC = float(n[0]), float(n[1]), float(n[2])
+    vd = (nd - 1.0) / (nF - nC) if abs(nF - nC) > 1e-12 else 0.0
+    return nd, vd
+
+
+def _encode_glas(mat) -> str | None:
+    """GLAS line for a SurfaceSpec material; None for air."""
+    from optiland_tpu.materials.catalog import _load_catalog
+    from optiland_tpu.materials.dispersion import FORMULA_IDEAL
+
+    if mat.mirror:
+        return "  GLAS MIRROR 1 0 0 0"
+    if mat.formula == FORMULA_IDEAL:
+        n = float(mat.coefficients[0])
+        if abs(n - 1.0) < 1e-9:
+            return None  # air
+        return f"  GLAS MODEL 1 0 {n!r} 0.0"
+    from optiland_tpu.fileio.codev import _parse_abbe_name
+
+    ab = _parse_abbe_name(mat.name or "")
+    if ab is not None:
+        return f"  GLAS MODEL 1 0 {ab[0]!r} {ab[1]!r}"
+    name = (mat.name or "").split("|")[0]
+    try:
+        cat = _load_catalog()
+        known = name and (name.lower() in cat or any(
+            k.startswith(name.lower() + "|") for k in cat))
+    except Exception:
+        known = False
+    if known:
+        return f"  GLAS {name.upper()} 1 0 0 0"
+    nd, vd = material_nd_vd(mat)
+    return f"  GLAS MODEL 1 0 {_fmt(nd)} {_fmt(vd)}"
+
+
+def save_zemax_file(optic: Optic, path: str) -> None:
+    """Write an Optic as a sequential-mode .zmx file (UTF-16, like
+    OpticStudio and the reference's exporter)."""
+    lines: list[str] = []
+    lines.append("VERS 240000 3 0")
+    lines.append("MODE SEQ")
+    lines.append(f"NAME {optic.name or ''}".rstrip())
+    lines.append("NOTE 0")
+    lines.append("UNIT MM X W X CM MR CPMM")
+
+    ap_type = optic.aperture_type or "EPD"
+    operand = _AP_TO_OPERAND.get(ap_type)
+    if operand == "FLOA":
+        lines.append("FLOA")
+    elif operand == "FNUM":
+        lines.append(f"FNUM {_fmt(optic.aperture_value)} 0")
+    elif operand == "OBNA":
+        lines.append(f"OBNA {_fmt(optic.aperture_value)} 0")
+    elif operand:
+        lines.append(f"{operand} {_fmt(optic.aperture_value)}")
+
+    xf = list(optic.fields.x)
+    yf = list(optic.fields.y)
+    n_fields = max(len(yf), 1)
+    n_wl = max(optic.wavelengths.num_wavelengths, 1)
+    ftyp = _FTYP_INT.get(optic.fields.field_type, 0)
+    telecentric = 1 if getattr(optic.fields, "telecentric", False) else 0
+    lines.append(f"FTYP {ftyp} {telecentric} {n_fields} {n_wl} 0 0 0")
+    lines.append("XFLN " + " ".join(_fmt(v) for v in (xf or [0.0])))
+    lines.append("YFLN " + " ".join(_fmt(v) for v in (yf or [0.0])))
+    lines.append("FWGN " + " ".join(_fmt(1.0) for _ in (yf or [0.0])))
+
+    wls = list(optic.wavelengths.values_um)
+    for i, wv in enumerate(wls or [0.55]):
+        lines.append(f"WAVM {i + 1} {_fmt(wv)} 1")
+    lines.append(f"PWAV {optic.wavelengths.primary_idx + 1}")
+
+    for idx, s in enumerate(optic.surfaces.specs):
+        lines.append(f"SURF {idx}")
+        stype = _TYPE_TO_ZMX.get(s.geometry, "STANDARD")
+        lines.append(f"  TYPE {stype}")
+        if s.is_stop:
+            lines.append("  STOP")
+        if s.geometry == "toroidal":
+            # CURV = Y-curve, PARM 1 = rotation radius, PARM 2.. = Y-poly
+            ry = s.geom_params.get("radius_y", math.inf)
+            curv = 0.0 if math.isinf(ry) or ry == 0 else 1.0 / ry
+            lines.append(f"  CURV {_fmt(curv)}")
+        else:
+            curv = 0.0 if s.radius in (math.inf, -math.inf) \
+                or s.radius == 0 else 1.0 / s.radius
+            lines.append(f"  CURV {_fmt(curv)}")
+        if math.isinf(s.thickness):
+            lines.append("  DISZ INFINITY")
+        else:
+            lines.append(f"  DISZ {_fmt(s.thickness)}")
+        if abs(s.conic) > 1e-16:
+            lines.append(f"  CONI {_fmt(s.conic)}")
+        glas = _encode_glas(s.material)
+        if glas:
+            lines.append(glas)
+        if s.semi_aperture is not None and not hasattr(s.semi_aperture,
+                                                      "contains"):
+            lines.append(f"  DIAM {_fmt(float(s.semi_aperture))}")
+        if s.geometry == "toroidal":
+            if math.isfinite(s.radius) and s.radius != 0:
+                lines.append(f"  PARM 1 {_fmt(1.0 * s.radius)}")
+            poly = s.geom_params.get("coeffs_poly_y",
+                                     list(s.coefficients))
+            for i, c in enumerate(poly):
+                if abs(c) > 1e-30:
+                    lines.append(f"  PARM {i + 2} {_fmt(float(c))}")
+        else:
+            for i, c in enumerate(s.coefficients):
+                if abs(c) > 1e-30:
+                    lines.append(f"  PARM {i + 1} {_fmt(float(c))}")
+
+    with open(path, "w", encoding="utf-16") as f:
+        f.write("\n".join(lines) + "\n")

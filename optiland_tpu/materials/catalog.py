@@ -66,7 +66,7 @@ def abbe_material(index: float, abbe: float) -> MaterialSpec:
     return MaterialSpec(
         formula=FORMULA_POLYVAL,
         coefficients=tuple(float(v) for v in p),
-        name=f"abbe({index:.4f},{abbe:.2f})",
+        name=f"abbe({index!r},{abbe!r})",
     )
 MIRROR = MaterialSpec(formula=FORMULA_IDEAL, coefficients=(1.0,), name="mirror",
                       mirror=True)
