@@ -167,7 +167,6 @@ def _parse_abbe_name(name: str):
 
 def _encode_glass_inline(mat) -> str:
     from optiland_tpu.fileio.zemax import material_nd_vd
-    from optiland_tpu.materials.catalog import _load_catalog
     from optiland_tpu.materials.dispersion import FORMULA_IDEAL
 
     if mat.mirror:
@@ -184,10 +183,15 @@ def _encode_glass_inline(mat) -> str:
     name = (mat.name or "").split("|")[0]
     catalog = (mat.name or "").split("|")[1] if "|" in (mat.name or "") \
         else None
+    # write the glass by name only when the reader resolves that name back
+    # to the identical dispersion (same formula + coefficients)
     try:
-        cat = _load_catalog()
-        known = name and (name.lower() in cat or any(
-            k.startswith(name.lower() + "|") for k in cat))
+        from optiland_tpu.materials.catalog import resolve_material
+
+        cand = resolve_material((name, catalog) if catalog else name) \
+            if name else None
+        known = (cand is not None and cand.formula == mat.formula
+                 and cand.coefficients == mat.coefficients)
     except Exception:
         known = False
     if known:

@@ -288,7 +288,6 @@ def material_nd_vd(mat) -> tuple[float, float]:
 
 def _encode_glas(mat) -> str | None:
     """GLAS line for a SurfaceSpec material; None for air."""
-    from optiland_tpu.materials.catalog import _load_catalog
     from optiland_tpu.materials.dispersion import FORMULA_IDEAL
 
     if mat.mirror:
@@ -304,10 +303,12 @@ def _encode_glas(mat) -> str | None:
     if ab is not None:
         return f"  GLAS MODEL 1 0 {ab[0]!r} {ab[1]!r}"
     name = (mat.name or "").split("|")[0]
+    # write the glass by name only when the reader will resolve that name
+    # back to the identical dispersion (same formula + coefficients)
     try:
-        cat = _load_catalog()
-        known = name and (name.lower() in cat or any(
-            k.startswith(name.lower() + "|") for k in cat))
+        cand = resolve_material(name) if name else None
+        known = (cand is not None and cand.formula == mat.formula
+                 and cand.coefficients == mat.coefficients)
     except Exception:
         known = False
     if known:

@@ -1,12 +1,14 @@
-"""Host-side glass catalog.
+"""Host-side glass catalog: the full refractiveindex.info database.
 
-Replaces the reference's CSV + refractiveindex.info YAML resolution pipeline
-(`optiland/materials/material.py:22`, `material_file.py`) with a compact
-bundled JSON of dispersion coefficients (public CC0 refractiveindex.info
-data, extracted by `tools/extract_catalog.py` through the reference's own
-name resolution so indices agree exactly). An external refractiveindex.info
-mirror can be layered on later; the bundled set covers every glass used by
-the reference's sample systems.
+Replaces the reference's CSV + YAML resolution pipeline
+(`optiland/materials/material.py:22`, `material_file.py`) with a bundled
+gzipped JSON of all 3201 catalog rows (public CC0 refractiveindex.info data,
+extracted at build time by `tools/build_full_catalog.py`). Name resolution
+mirrors the reference's semantics (`material.py:118-186`): substring filter
+over (category_name, name, filename), optional reference/manufacturer filter,
+optional wavelength-range filter, then rank by minimum Levenshtein distance
+and take the best row — so `Material("N-BK7")`-style lookups pick the exact
+same YAML file and therefore the exact same dispersion coefficients.
 
 `resolve_material` maps user material specs — a number (ideal index), a glass
 name, a `(name, catalog)` tuple, "air", or "mirror" — to a `MaterialSpec`
@@ -15,14 +17,20 @@ name, a `(name, catalog)` tuple, "air", or "mirror" — to a `MaterialSpec`
 
 from __future__ import annotations
 
+import gzip
 import json
 from dataclasses import dataclass
 from functools import lru_cache
 from pathlib import Path
 
-from optiland_tpu.materials.dispersion import FORMULA_IDEAL
+from optiland_tpu.materials.dispersion import (
+    FORMULA_IDEAL,
+    FORMULA_TABULATED,
+)
 
-_DATA_PATH = Path(__file__).resolve().parent.parent / "data" / "glasses.json"
+_DATA_PATH = (
+    Path(__file__).resolve().parent.parent / "data" / "catalog_full.json.gz"
+)
 
 
 @dataclass(frozen=True)
@@ -33,6 +41,11 @@ class MaterialSpec:
     tabulated extinction coefficient from refractiveindex.info, interpolated
     at trace time for Beer-Lambert absorption (the reference does the same:
     `materials/material_file.py:233-248`, `propagation/homogeneous.py:44-53`).
+
+    `therm` / `t0` carry the Schott thermal-dispersion coefficients and the
+    reference temperature when the source YAML provides them (reference
+    `material_file.py:511-521`), consumed by
+    `optiland_tpu.environment.schott_thermal_correction`.
     """
 
     formula: int
@@ -40,6 +53,8 @@ class MaterialSpec:
     name: str = ""
     mirror: bool = False
     k_table: tuple[tuple[float, ...], tuple[float, ...]] | None = None
+    therm: tuple[float, ...] | None = None
+    t0: float | None = None
 
     @property
     def n_coeffs(self) -> int:
@@ -47,6 +62,8 @@ class MaterialSpec:
 
 
 AIR = MaterialSpec(formula=FORMULA_IDEAL, coefficients=(1.0,), name="air")
+MIRROR = MaterialSpec(formula=FORMULA_IDEAL, coefficients=(1.0,), name="mirror",
+                      mirror=True)
 
 
 def abbe_material(index: float, abbe: float) -> MaterialSpec:
@@ -68,25 +85,117 @@ def abbe_material(index: float, abbe: float) -> MaterialSpec:
         coefficients=tuple(float(v) for v in p),
         name=f"abbe({index!r},{abbe!r})",
     )
-MIRROR = MaterialSpec(formula=FORMULA_IDEAL, coefficients=(1.0,), name="mirror",
-                      mirror=True)
 
 
 @lru_cache(maxsize=1)
-def _load_catalog() -> dict:
-    with open(_DATA_PATH) as f:
-        return json.load(f)
+def _load_catalog() -> list[dict]:
+    with gzip.open(_DATA_PATH, "rt") as f:
+        return json.load(f)["rows"]
 
 
 def catalog_names() -> list[str]:
-    return sorted(_load_catalog())
+    """All distinct glass/material names in the bundled database."""
+    return sorted({r["n"] for r in _load_catalog()})
+
+
+def _levenshtein(s1: str, s2: str) -> int:
+    """Edit distance (iterative two-row DP)."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, ch1 in enumerate(s1, 1):
+        cur = [i]
+        for j, ch2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ch1 != ch2)))
+        prev = cur
+    return prev[-1]
+
+
+def find_material(
+    name: str,
+    reference: str | None = None,
+    min_wavelength: float | None = None,
+    max_wavelength: float | None = None,
+    robust: bool = True,
+) -> dict:
+    """Locate the best-matching catalog row for a material name.
+
+    Mirrors the reference's search semantics
+    (`optiland/materials/material.py:118-186`): case-insensitive substring
+    filter on category/name/filename, optional reference filter over five
+    fields, optional wavelength-range containment, Levenshtein ranking.
+    """
+    key = name.lower()
+    rows = [
+        r for r in _load_catalog()
+        if key in r["c"].lower() or key in r["n"].lower()
+        or key in r["f"].lower()
+    ]
+    if reference:
+        ref = reference.lower()
+        rows = [
+            r for r in rows
+            if ref in r["c"].lower() or ref in r["cf"].lower()
+            or ref in r["r"].lower() or ref in r["n"].lower()
+            or ref in r["file"].lower()
+        ]
+    if min_wavelength is not None:
+        rows = [r for r in rows
+                if r["wmin"] <= min_wavelength <= r["wmax"]]
+    if max_wavelength is not None:
+        rows = [r for r in rows
+                if r["wmin"] <= max_wavelength <= r["wmax"]]
+    if not rows:
+        raise KeyError(
+            f"No matches found for material {name!r}"
+            + (f" with reference {reference!r}" if reference else "")
+        )
+    scored = sorted(
+        rows,
+        key=lambda r: min(_levenshtein(key, r["c"].lower()),
+                          _levenshtein(key, r["n"].lower()),
+                          _levenshtein(key, r["f"].lower())),
+    )
+    best = scored[0]
+    if len(scored) > 1 and not robust:
+        raise KeyError(f"Multiple matches found for material {name!r}")
+    return best
+
+
+def _spec_from_row(row: dict, display_name: str) -> MaterialSpec:
+    k_table = None
+    if "kt" in row:
+        k_table = (tuple(float(v) for v in row["kt"][0]),
+                   tuple(float(v) for v in row["kt"][1]))
+    therm = tuple(float(v) for v in row["therm"]) if "therm" in row else None
+    t0 = float(row["t0"]) if "t0" in row else None
+    if "formula" in row:
+        return MaterialSpec(
+            formula=int(row["formula"]),
+            coefficients=tuple(float(c) for c in row["coeffs"]),
+            name=display_name, k_table=k_table, therm=therm, t0=t0,
+        )
+    if "nt" in row:
+        wl, nv = row["nt"]
+        return MaterialSpec(
+            formula=FORMULA_TABULATED,
+            coefficients=tuple(float(v) for v in wl)
+            + tuple(float(v) for v in nv),
+            name=display_name, k_table=k_table, therm=therm, t0=t0,
+        )
+    raise KeyError(
+        f"Catalog row for {display_name!r} has no refractive-index data "
+        f"(file {row.get('file')})"
+    )
 
 
 def resolve_material(spec) -> MaterialSpec:
     """Resolve a user material spec to a MaterialSpec.
 
     Accepts: None/"air", "mirror", a number (ideal constant index), a
-    MaterialSpec (passthrough), a glass name, or a (name, catalog) tuple.
+    MaterialSpec (passthrough), a glass name, or a (name, catalog/reference)
+    tuple.
     """
     if spec is None:
         return AIR
@@ -95,38 +204,15 @@ def resolve_material(spec) -> MaterialSpec:
     if isinstance(spec, (int, float)):
         return MaterialSpec(FORMULA_IDEAL, (float(spec),), name=f"ideal({spec})")
     if isinstance(spec, tuple):
-        name, catalog = spec
-        key = f"{name.lower()}|{catalog.lower()}"
+        name, reference = spec
     else:
-        name = str(spec)
+        name, reference = str(spec), None
         if name.lower() == "air":
             return AIR
         if name.lower() == "mirror":
             return MIRROR
-        key = name.lower()
-
-    cat = _load_catalog()
-    if key not in cat and "|" not in key:
-        # fall back: any catalog-qualified entry for this glass name
-        matches = [k for k in cat if k.split("|")[0] == key]
-        if len(matches) == 1:
-            key = matches[0]
-    try:
-        entry = cat[key]
-    except KeyError:
-        raise KeyError(
-            f"Material {spec!r} not in bundled catalog "
-            f"({len(cat)} glasses). Known names: {catalog_names()[:10]}..."
-        ) from None
-    k_table = None
-    if "k" in entry:
-        k_table = (
-            tuple(float(v) for v in entry["k_wavelength"]),
-            tuple(float(v) for v in entry["k"]),
-        )
-    return MaterialSpec(
-        formula=int(entry["formula"]),
-        coefficients=tuple(float(c) for c in entry["coefficients"]),
-        name=entry["name"],
-        k_table=k_table,
-    )
+        if "|" in name:  # serialized "name|reference" qualified form
+            name, reference = name.split("|", 1)
+    row = find_material(name, reference)
+    display = f"{name}|{reference}" if reference else name
+    return _spec_from_row(row, display)

@@ -109,8 +109,16 @@ def material_index(formula: int, n_coeffs: int, coeffs, w):
             `n_coeffs` entries are read).
         w: wavelength(s) in micrometers.
     """
-    c = [coeffs[i] for i in range(n_coeffs)]
     w = jnp.asarray(w)
+    if formula == FORMULA_TABULATED:
+        # coeffs = (wavelengths..., n values...) — edge-clamped linear
+        # interpolation matching the reference (`material_file.py:440`,
+        # be.interp == np.interp semantics).
+        K = n_coeffs // 2
+        wl = jnp.asarray(coeffs)[:K]
+        nv = jnp.asarray(coeffs)[K:n_coeffs]
+        return jnp.interp(w, wl, nv)
+    c = [coeffs[i] for i in range(n_coeffs)]
     if formula == FORMULA_IDEAL:
         return jnp.broadcast_to(c[0], w.shape) if w.ndim else c[0] + 0.0 * w
     if formula == FORMULA_SELLMEIER:

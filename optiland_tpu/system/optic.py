@@ -204,6 +204,7 @@ class Optic:
         self.name = name or self.__class__.__name__
         self.surfaces = _SurfaceCollection(self)
         self.fields = _FieldGroup(self)
+        self.obj_space_telecentric = False
         self.wavelengths = _WavelengthGroup(self)
         self.aperture_type: str | None = None
         self.aperture_value: float = 0.0
@@ -232,7 +233,16 @@ class Optic:
         self._dirty()
 
     def set_field_type(self, field_type: str):
+        if field_type not in ("angle", "object_height",
+                              "paraxial_image_height", "real_image_height"):
+            raise ValueError(f"Invalid field type: {field_type}.")
         self.fields.set_type(field_type)
+
+    def set_telecentric(self, is_telecentric: bool = True):
+        """Object-space telecentricity flag (reference
+        `fields/field_group.py:212`)."""
+        self.obj_space_telecentric = bool(is_telecentric)
+        self._dirty()
 
     def set_apodization(self, spec):
         """Set pupil apodization: name, (name, kwargs), or instance
@@ -311,6 +321,7 @@ class Optic:
                 wavelengths=self.wavelengths.values_um,
                 primary_wavelength_idx=self.wavelengths.primary_idx,
                 apodization=self.apodization,
+                telecentric=self.obj_space_telecentric,
             )
         return self._built
 

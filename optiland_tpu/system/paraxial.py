@@ -247,7 +247,28 @@ def _chief_scale(static, params, y_obj_unit, u_obj_unit, y_img_unit):
         return jnp.tan(jnp.deg2rad(max_y)) / u_obj_unit
     if ft == "object_height":
         return max_y / y_obj_unit
+    if ft in ("paraxial_image_height", "real_image_height"):
+        # reference `field_types/paraxial_image_height.py:103-121`
+        return max_y / y_img_unit
     raise ValueError(f"Unsupported field type {ft!r}")
+
+
+def unit_chief(static: SystemStatic, params: SystemParams, plane: str,
+               wavelength=None):
+    """(y, u) of a unit ray (y=0, u=1 at the stop) traced forward to the
+    image plane or in reverse to object space (reference
+    `fields/field_types/paraxial_image_height.py:142-160`)."""
+    w = _primary(static, params) if wavelength is None else wavelength
+    pos = positions_of(static, params)
+    stop = static.stop_index
+    S = static.num_surfaces
+    if plane == "image":
+        y, u = trace_generic(static, params, 0.0, 1.0, pos[stop], w,
+                             skip=stop)
+    else:
+        y, u = trace_generic(static, params, 0.0, 1.0, pos[-1] - pos[stop],
+                             w, reverse=True, skip=S - stop)
+    return y[-1], u[-1]
 
 
 def magnification(static, params, wavelength=None):

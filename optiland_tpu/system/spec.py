@@ -152,13 +152,18 @@ class SystemStatic:
     stop_index: int
     object_infinite: bool
     has_abs_cs: bool  # surfaces placed by absolute CS (fold-mirror chains)
-    field_type: str  # "angle" | "object_height"
+    # "angle" | "object_height" | "paraxial_image_height" | "real_image_height"
+    field_type: str
     aperture_type: str  # "EPD" | "imageFNO" | "objectNA" | "float_by_stop"
     num_fields: int
     num_wavelengths: int
     primary_wavelength_idx: int
     apodization: object = None  # BaseApodization (hashable) or None=uniform
     newton_iters: int = 16
+    # object-space telecentric (reference `fields/field_group.py:212`,
+    # `rays/ray_aiming/paraxial.py:81-117`): chief rays parallel to the axis;
+    # only valid with non-angle fields and an objectNA/float_by_stop aperture
+    telecentric: bool = False
     # per-surface BaseAperture mask objects (hashable) or None; the scalar
     # radial case lives in SystemParams.ap_radius instead
     aperture_masks: tuple = ()
@@ -395,9 +400,19 @@ def build_system(
     primary_wavelength_idx: int,
     apodization=None,
     newton_iters: int = 16,
+    telecentric: bool = False,
     dtype=None,
 ) -> tuple[SystemStatic, SystemParams]:
     """Compile builder state into the (static, params) pair."""
+    if telecentric:
+        # reference `rays/ray_aiming/paraxial.py:108-117`
+        if field_type == "angle":
+            raise ValueError(
+                'Field type cannot be "angle" for telecentric object space.')
+        if aperture_type not in ("objectNA", "float_by_stop"):
+            raise ValueError(
+                f"Aperture type {aperture_type!r} is not compatible with "
+                f"telecentric object space.")
     dtype = dtype or config.get_dtype()
     S = len(surfaces)
     if S < 3:
@@ -431,7 +446,10 @@ def build_system(
     tilt = np.zeros((S, 3))
     decenter = np.zeros((S, 2))
     focal_length = np.zeros(S)
-    mat_coeffs = np.zeros((S, MAX_COEFFS))
+    # tabulated-n materials carry (wavelengths..., n...) tables wider than
+    # the formula-coefficient budget — widen the packed array to fit
+    mat_w = max([MAX_COEFFS] + [s.material.n_coeffs for s in surfaces])
+    mat_coeffs = np.zeros((S, mat_w))
     KMAX = max(
         (len(s.material.k_table[0]) for s in surfaces
          if s.material.k_table is not None),
@@ -599,6 +617,7 @@ def build_system(
         primary_wavelength_idx=primary_wavelength_idx,
         apodization=apodization,
         newton_iters=newton_iters,
+        telecentric=telecentric,
         aperture_masks=tuple(aperture_masks),
         thin_films=tuple(thin_films),
     )

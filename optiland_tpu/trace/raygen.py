@@ -80,7 +80,89 @@ def _ray_origins(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
         z0 = jnp.broadcast_to(pos[0], Px.shape)
         return x0, y0, z0
 
+    if static.field_type in ("paraxial_image_height", "real_image_height"):
+        # field values are chief-ray image heights; convert to object-space
+        # angle (infinite object) or object height via unit chief-ray traces
+        # (reference `field_types/paraxial_image_height.py:17-77`)
+        y_img_unit, _ = px.unit_chief(static, params, "image")
+        y_obj_unit, u_obj_unit = px.unit_chief(static, params, "object")
+        if static.object_infinite:
+            val_x = u_obj_unit * (field_x / y_img_unit)
+            val_y = u_obj_unit * (field_y / y_img_unit)
+        else:
+            val_x = y_obj_unit * (field_x / y_img_unit)
+            val_y = y_obj_unit * (field_y / y_img_unit)
+        if static.field_type == "real_image_height":
+            val_x, val_y = _solve_real_image_field(
+                static, params, val_x, val_y, field_x, field_y, epl, epd, pos)
+        return _origins_from_field_params(
+            static, params, val_x, val_y, Px, Py, vx, vy, epl, epd, pos)
+
     raise ValueError(f"Unsupported field type {static.field_type!r}")
+
+
+def _origins_from_field_params(static, params, val_x, val_y, Px, Py, vx, vy,
+                               epl, epd, pos):
+    """Ray origins from solved per-ray field parameters — object-space
+    angles (infinite object) or object heights (reference
+    `field_types/real_image_height.py:174-203`)."""
+    if static.object_infinite:
+        offset = epd - jnp.min(pos[1:-1])
+        x = -val_x * (offset + epl)
+        y = -val_y * (offset + epl)
+        z = pos[1] - offset
+        x0 = Px * epd / 2.0 * vx + x
+        y0 = Py * epd / 2.0 * vy + y
+        z0 = jnp.broadcast_to(z, Px.shape)
+    else:
+        x0 = jnp.broadcast_to(val_x, Px.shape)
+        y0 = jnp.broadcast_to(val_y, Px.shape)
+        z0 = jnp.broadcast_to(pos[0], Px.shape)
+    return x0, y0, z0
+
+
+def _solve_real_image_field(static, params, val_x, val_y, target_x, target_y,
+                            epl, epd, pos, iters: int = 8):
+    """Refine field parameters so the *real* chief ray hits the target image
+    height: a fixed-iteration, fully batched Newton with forward-mode JVP
+    Jacobian probes (the reference uses a host-side secant loop,
+    `field_types/real_image_height.py:62-143`; fixed-count Newton keeps the
+    solve jittable and differentiable)."""
+    import jax
+
+    from optiland_tpu.trace import tracer as _tracer
+
+    zeros = jnp.zeros_like(val_x)
+
+    def image_hit(vx_, vy_):
+        x0, y0, z0 = _origins_from_field_params(
+            static, params, vx_, vy_, zeros, zeros, zeros, zeros,
+            epl, epd, pos)
+        dx, dy, dz = -x0, -y0, epl - z0
+        mag = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        mag = jnp.where(mag < 1e-9, 1.0, mag)
+        rays = make_rays(x0, y0, z0, dx / mag, dy / mag, dz / mag,
+                         wavelength=params.wavelengths[
+                             static.primary_wavelength_idx],
+                         dtype=params.cv.dtype)
+        hist = _tracer.trace_rays(static, params, rays)
+        return hist.x[-1], hist.y[-1]
+
+    def body(carry, _):
+        vx_, vy_ = carry
+        (cx, cy), (dcx, dcy) = jax.jvp(
+            lambda a: image_hit(a, vy_), (vx_,), (jnp.ones_like(vx_),))
+        _, (dcx2, dcy2) = jax.jvp(
+            lambda b: image_hit(vx_, b), (vy_,), (jnp.ones_like(vy_),))
+        ex, ey = cx - target_x, cy - target_y
+        det = dcx * dcy2 - dcx2 * dcy
+        det = jnp.where(jnp.abs(det) > 1e-14, det, 1e-14)
+        dvx = (ex * dcy2 - ey * dcx2) / det
+        dvy = (ey * dcx - ex * dcy) / det
+        return (vx_ - dvx, vy_ - dvy), None
+
+    (val_x, val_y), _ = jax.lax.scan(body, (val_x, val_y), None, length=iters)
+    return val_x, val_y
 
 
 def generate_rays(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
@@ -108,10 +190,19 @@ def generate_rays(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
 
     x0, y0, z0 = _ray_origins(static, params, Hx, Hy, Px, Py, vx, vy, epl, epd)
 
-    # aim at the paraxial entrance pupil
-    x1 = Px * epd * vx / 2.0
-    y1 = Py * epd * vy / 2.0
-    z1 = jnp.broadcast_to(epl, Px.shape)
+    if static.telecentric:
+        # object-space telecentric: every chief ray is axis-parallel; aim at
+        # a per-ray pupil one NA-cone away from the origin (reference
+        # `rays/ray_aiming/paraxial.py:81-88`)
+        sin_na = params.aperture_value
+        x1 = Px * vx + x0
+        y1 = Py * vy + y0
+        z1 = jnp.sqrt(1.0 - sin_na**2) / sin_na + z0
+    else:
+        # aim at the paraxial entrance pupil
+        x1 = Px * epd * vx / 2.0
+        y1 = Py * epd * vy / 2.0
+        z1 = jnp.broadcast_to(epl, Px.shape)
 
     dx, dy, dz = x1 - x0, y1 - y0, z1 - z0
     mag = jnp.sqrt(dx * dx + dy * dy + dz * dz)
