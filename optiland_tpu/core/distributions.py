@@ -102,10 +102,23 @@ def gaussian_quadrature(num_rings: int = 3, symmetric: bool = True):
     )
 
 
+def sobol(num_points: int, seed: int | None = 0):
+    """Low-discrepancy Sobol points on the unit disk (reference
+    `distribution.py:378-412`): area-uniform polar map of a scrambled
+    2-D Sobol sequence (host-side scipy.qmc, like `be.sobol_sampler`)."""
+    from scipy.stats import qmc
+
+    u = qmc.Sobol(d=2, scramble=True, seed=seed).random(num_points)
+    r = np.sqrt(u[:, 0])
+    theta = 2.0 * np.pi * u[:, 1]
+    return jnp.asarray(r * np.cos(theta)), jnp.asarray(r * np.sin(theta))
+
+
 _GENERATORS = {
     "hexapolar": hexapolar,
     "uniform": uniform,
     "random": random,
+    "sobol": sobol,
     "line_x": line_x,
     "line_y": line_y,
     "cross": cross,

@@ -5,6 +5,8 @@ from optiland_tpu.optimization.optimizers import (
     DualAnnealing,
     DifferentialEvolution,
     BasinHopping,
+    SHGO,
+    OrthogonalDescent,
     AdamOptimizer,
     SGDOptimizer,
 )
@@ -18,6 +20,8 @@ __all__ = [
     "DualAnnealing",
     "DifferentialEvolution",
     "BasinHopping",
+    "SHGO",
+    "OrthogonalDescent",
     "AdamOptimizer",
     "SGDOptimizer",
     "GlassExpert",

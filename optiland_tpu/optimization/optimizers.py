@@ -170,6 +170,77 @@ class BasinHopping(OptimizerGeneric):
         return res
 
 
+class SHGO(_GlobalOptimizer):
+    """Simplicial homology global optimization (reference
+    `optimizer/scipy/shgo.py`)."""
+
+    def optimize(self, n: int = 100, iters: int = 1, disp: bool = False):
+        from scipy import optimize as sciopt
+
+        c = self.problem._compile()
+        params0 = self.problem.optic.params
+        self._undo.append(np.asarray(self.problem.x0(), float))
+
+        def fun(x):
+            return float(c["sum_squared"](jnp.asarray(x), params0))
+
+        res = sciopt.shgo(fun, self._finite_bounds(), n=n, iters=iters,
+                          options={"disp": disp})
+        self.problem.apply(res.x)
+        return res
+
+
+class OrthogonalDescent(OptimizerGeneric):
+    """Cyclic coordinate descent with Brent line searches — derivative-free,
+    one variable at a time (reference
+    `optimizer/scipy/orthogonal_descent.py:21-105`)."""
+
+    def optimize(self, max_iter: int = 100, tol: float = 1e-4,
+                 disp: bool = False):
+        from scipy.optimize import minimize_scalar
+
+        c = self.problem._compile()
+        params0 = self.problem.optic.params
+        x = np.array(self.problem.x0(), float)  # own writable copy
+        self._undo.append(x.copy())
+        bounds = self._bounds() or [(None, None)] * len(x)
+
+        def rss(xv):
+            return float(np.sqrt(c["sum_squared"](jnp.asarray(xv), params0)))
+
+        current = rss(x)
+        for _ in range(max_iter):
+            prev = current
+            for i in range(len(x)):
+                lo, hi = bounds[i]
+                lo = -1e12 if lo is None else lo
+                hi = 1e12 if hi is None else hi
+                x_start, f_start = x[i], rss(x)
+
+                def obj(v, i=i, lo=lo, hi=hi):
+                    if v < lo or v > hi:
+                        return 1e20
+                    x[i] = v
+                    try:
+                        return rss(x)
+                    finally:
+                        x[i] = x_start
+
+                step = max(abs(x_start) * 0.05, 0.1)
+                res = minimize_scalar(obj, bracket=(x_start - step,
+                                                    x_start + step),
+                                      method="brent", tol=1e-5)
+                if res.fun < f_start:
+                    x[i] = float(res.x)
+            current = rss(x)
+            if disp:
+                print(f"orthogonal descent: rss={current:.6g}")
+            if abs(prev - current) / (prev + 1e-10) < tol:
+                break
+        self.problem.apply(x)
+        return OptimizationResult(x=x, fun=current)
+
+
 class _OptaxOptimizer:
     """On-device first-order loop: the whole (step, opt-state) update is one
     jitted graph; bounds are clamped post-step as the reference's torch

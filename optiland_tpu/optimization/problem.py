@@ -70,6 +70,14 @@ class OptimizationProblem:
         coeff_number = kwargs.pop("coeff_number", 0)
         min_val = kwargs.pop("min_val", None)
         max_val = kwargs.pop("max_val", None)
+        from optiland_tpu.optimization.variables import (
+            _GEOM_COEFF_KINDS,
+            geom_coeff_offset,
+        )
+
+        if variable_type in _GEOM_COEFF_KINDS and "offset" not in kwargs:
+            kwargs["offset"] = geom_coeff_offset(
+                optic.static, variable_type, surface_number)
         self.variables.append(Variable(
             kind=variable_type, surface_number=surface_number,
             coeff_number=coeff_number, scaler=scaler,

@@ -78,6 +78,35 @@ _DEFAULT_SCALERS = {
 }
 
 
+# geometry-coefficient kinds addressing the packed params.coeffs row; the
+# logical coefficient index is shifted by extra["offset"] (the layout header
+# documented in `geometry/surfaces.py`: chebyshev [norm_x, norm_y, C...],
+# zernike/forbes [norm_radius, ...], toroidal [cv_rot, poly...], grid sag
+# [xs..., ys..., sag...], NURBS [U, V, W, Px, Py, Pz]). Offsets are computed
+# by `geom_coeff_offset` / OptimizationProblem.add_variable (reference
+# counterparts: `optimization/variable/{chebyshev,zernike,forbes,grid_sag,
+# nurbs,norm_radius}.py`).
+_GEOM_COEFF_KINDS = frozenset({
+    "chebyshev_coeff", "zernike_coeff", "forbes_coeff", "toroidal_coeff",
+    "grid_sag_coeff", "nurbs_cp_z", "geom_coeff",
+})
+
+
+def geom_coeff_offset(static, kind: str, surface_number: int) -> int:
+    """Packed-layout offset of logical coefficient 0 for a geometry kind."""
+    if kind == "chebyshev_coeff":
+        return 2
+    if kind in ("zernike_coeff", "forbes_coeff", "toroidal_coeff"):
+        return 1
+    if kind == "grid_sag_coeff":
+        nx, ny = static.geom_aux[surface_number]
+        return nx + ny
+    if kind == "nurbs_cp_z":
+        p, q, nu, nv = static.geom_aux[surface_number][:4]
+        return (nu + p + 1) + (nv + q + 1) + 3 * nu * nv
+    return 0
+
+
 @dataclass
 class Variable:
     """One optimizable scalar in the system.
@@ -135,6 +164,17 @@ class Variable:
             return params.tilt[s, 2]
         if self.kind == "focal_length":
             return params.focal_length[s]
+        if self.kind in _GEOM_COEFF_KINDS:
+            return params.coeffs[s, self.coeff_number
+                                 + self.extra.get("offset", 0)]
+        if self.kind == "norm_radius":
+            # zernike/forbes packed layouts put the normalization radius at
+            # slot 0 (reference `variable/norm_radius.py`)
+            return params.coeffs[s, 0]
+        if self.kind == "norm_x":
+            return params.coeffs[s, 0]
+        if self.kind == "norm_y":
+            return params.coeffs[s, 1]
         raise ValueError(f"Unknown variable kind {self.kind!r}")
 
     def set(self, params, value):
@@ -169,6 +209,13 @@ class Variable:
             return params.replace(
                 focal_length=params.focal_length.at[s].set(value)
             )
+        if self.kind in _GEOM_COEFF_KINDS:
+            j = self.coeff_number + self.extra.get("offset", 0)
+            return params.replace(coeffs=params.coeffs.at[s, j].set(value))
+        if self.kind in ("norm_radius", "norm_x"):
+            return params.replace(coeffs=params.coeffs.at[s, 0].set(value))
+        if self.kind == "norm_y":
+            return params.replace(coeffs=params.coeffs.at[s, 1].set(value))
         raise ValueError(f"Unknown variable kind {self.kind!r}")
 
     def __str__(self):

@@ -255,14 +255,39 @@ class Optic:
     def set_ray_aiming(self, mode: str):
         """Choose the ray-aiming strategy (reference
         `rays/ray_aiming/registry.py`)."""
-        if mode not in ("paraxial", "iterative", "robust"):
-            raise ValueError("ray aiming must be paraxial, iterative, or robust")
+        if mode not in ("paraxial", "iterative", "robust", "cached"):
+            raise ValueError(
+                "ray aiming must be paraxial, iterative, robust, or cached")
         self.ray_aiming = mode
+        self._aim_cache = {}
 
     def _aim(self, static, params, Hx, Hy, Px, Py, wavelength):
         if self.ray_aiming == "paraxial":
             return Px, Py
         from optiland_tpu.trace import aiming
+
+        if self.ray_aiming == "cached":
+            # memoized iterative aim (reference `ray_aiming/cached.py:22-147`
+            # hashes system + inputs); keyed on the parameter pytree bytes +
+            # the query coordinates, so edits invalidate naturally
+            import hashlib
+
+            import numpy as np
+
+            h = hashlib.sha256()
+            for leaf in jax.tree.leaves(params):
+                h.update(np.asarray(leaf).tobytes())
+            for a in (Hx, Hy, Px, Py, wavelength):
+                h.update(np.asarray(a).tobytes())
+            key = h.hexdigest()
+            cache = getattr(self, "_aim_cache", None)
+            if cache is None:
+                cache = self._aim_cache = {}
+            if key not in cache:
+                cache[key] = aiming.aim_rays_iterative(
+                    static, params, Hx, Hy, Px, Py,
+                    jnp.asarray(wavelength, params.cv.dtype))
+            return cache[key]
 
         fn = (aiming.aim_rays_iterative if self.ray_aiming == "iterative"
               else aiming.aim_rays_robust)
@@ -343,6 +368,165 @@ class Optic:
         """Re-apply pickups and solves (reference `Optic.update`)."""
         self.pickups.apply()
         self.solves.apply()
+
+    # -- system-level edits (reference `optic/optic_updater.py:24-340`) -----
+    def scale_system(self, scale_factor: float):
+        """Scale every length in the prescription (radii, thicknesses,
+        freeform coefficients, apertures) by `scale_factor` — reference
+        `optic_updater.py:175-204` + per-geometry `geometries/*.scale`."""
+        f = float(scale_factor)
+        for s in self.surfaces.specs:
+            if math.isfinite(s.radius):
+                s.radius *= f
+            if math.isfinite(s.thickness):
+                s.thickness *= f
+            gp = s.geom_params
+            g = s.geometry
+            if g == "even_asphere":
+                s.coefficients = tuple(
+                    c * f ** (1 - 2 * (i + 1))
+                    for i, c in enumerate(s.coefficients))
+            elif g == "odd_asphere":
+                s.coefficients = tuple(
+                    c * f ** (1 - (i + 1))
+                    for i, c in enumerate(s.coefficients))
+            elif g == "polynomial":
+                # flattened (order+1)^2 grid; C_ij' = C_ij * f^(1-(i+j))
+                n = len(s.coefficients)
+                order = int(round(n**0.5)) - 1
+                s.coefficients = tuple(
+                    c * f ** (1 - (idx // (order + 1) + idx % (order + 1)))
+                    for idx, c in enumerate(s.coefficients))
+            elif g == "chebyshev":
+                gp["norm_x"] = gp.get("norm_x", 1.0) * f
+                gp["norm_y"] = gp.get("norm_y", 1.0) * f
+                import numpy as _np
+
+                gp["coefficients"] = _np.asarray(
+                    gp.get("coefficients", s.coefficients), float) * f
+            elif g == "zernike":
+                gp["norm_radius"] = gp.get("norm_radius", 1.0) * f
+                s.coefficients = tuple(c * f for c in s.coefficients)
+            elif g in ("forbes_qbfs", "forbes_q2d"):
+                if gp.get("norm_radius") is not None:
+                    gp["norm_radius"] = gp["norm_radius"] * f
+                if "radial_terms" in gp:
+                    gp["radial_terms"] = {
+                        k: v * f for k, v in gp["radial_terms"].items()}
+                if "freeform_coeffs" in gp:
+                    gp["freeform_coeffs"] = {
+                        k: v * f for k, v in gp["freeform_coeffs"].items()}
+                s.coefficients = tuple(c * f for c in s.coefficients)
+            elif g == "biconic":
+                if math.isfinite(gp.get("radius_y", math.inf)):
+                    gp["radius_y"] = gp["radius_y"] * f
+            elif g == "toroidal":
+                if math.isfinite(gp.get("radius_y", math.inf)):
+                    gp["radius_y"] = gp["radius_y"] * f
+                poly = list(gp.get("coeffs_poly_y", s.coefficients))
+                poly = [c * f ** (1 - 2 * (i + 1))
+                        for i, c in enumerate(poly)]
+                if "coeffs_poly_y" in gp:
+                    gp["coeffs_poly_y"] = poly
+                else:
+                    s.coefficients = tuple(poly)
+            elif g == "grid_sag":
+                import numpy as _np
+
+                for key in ("x_coordinates", "y_coordinates", "sag_values"):
+                    gp[key] = _np.asarray(gp[key], float) * f
+            if "grating_period" in gp:
+                gp["grating_period"] = gp["grating_period"] * f
+            sa = s.semi_aperture
+            if isinstance(sa, (int, float)):
+                s.semi_aperture = sa * f
+            elif sa is not None and hasattr(sa, "scale"):
+                s.semi_aperture = sa.scale(f)
+        # EPD / float_by_stop values are lengths; FNO and NA are ratios
+        # (reference `aperture/*.is_scalable`)
+        if self.aperture_type in ("EPD", "float_by_stop"):
+            self.aperture_value *= f
+        self._dirty()
+
+    def flip(self):
+        """Reverse the optical train in place: surface order, curvature
+        signs, media, and inter-surface gaps (reference
+        `optic_updater.py:267-289` + `surface_group.py:458-552`). Object and
+        image gaps are preserved; pickups/solves referencing surface indices
+        are remapped."""
+        specs = self.surfaces.specs
+        n = len(specs)
+        if n < 3:
+            raise ValueError(
+                "Optic flip requires at least 3 surfaces (obj, element, img)")
+        inner = specs[1:-1]
+        # media sequence: material[k] is the medium AFTER surface k.
+        # Reversing the train, the medium after new surface j (old surface
+        # n-1-j) is the medium that was BEFORE the old surface.
+        old_mats = [s.material for s in specs]
+        old_thick = [s.thickness for s in specs]
+        new_inner = list(reversed(inner))
+        for j, s in enumerate(new_inner):
+            old_idx = n - 2 - j
+            if math.isfinite(s.radius):
+                s.radius = -s.radius
+            if s.geometry == "biconic" and "radius_y" in s.geom_params:
+                s.geom_params["radius_y"] = -s.geom_params["radius_y"]
+            s.material = (old_mats[old_idx - 1]
+                          if not s.material.mirror else s.material)
+            # internal gaps reverse; the gap to the image plane stays
+            s.thickness = (old_thick[n - 2 - (j + 1)] if j < n - 3
+                           else old_thick[n - 2])
+        self.surfaces._specs = [specs[0]] + new_inner + [specs[-1]]
+
+        def remap(idx):
+            return idx if idx in (0, n - 1) else n - 1 - idx
+
+        for p in getattr(self.pickups, "pickups", []):
+            p.source_surface_idx = remap(p.source_surface_idx)
+            p.target_surface_idx = remap(p.target_surface_idx)
+        self._dirty()
+
+    def __add__(self, other: "Optic") -> "Optic":
+        """Concatenate two systems: self's surfaces (sans image plane)
+        followed by other's (sans object plane) — reference
+        `optic/optic.py` `__add__` / `surface_group.py:63-84`."""
+        import copy
+
+        out = Optic(f"{self.name}+{other.name}")
+        out.aperture_type = self.aperture_type
+        out.aperture_value = self.aperture_value
+        out.fields = copy.deepcopy(self.fields)
+        out.fields._optic = out
+        out.wavelengths = copy.deepcopy(self.wavelengths)
+        out.wavelengths._optic = out
+        out.obj_space_telecentric = self.obj_space_telecentric
+        left = [copy.deepcopy(s) for s in self.surfaces.specs[:-1]]
+        right = [copy.deepcopy(s) for s in other.surfaces.specs[1:]]
+        # at most one stop in the combined system: keep self's
+        has_stop = any(s.is_stop for s in left)
+        for s in right:
+            if has_stop:
+                s.is_stop = False
+        out.surfaces._specs = left + right
+        return out
+
+    def update_paraxial(self):
+        """Recompute per-surface semi-apertures from the marginal + chief
+        paraxial rays (reference `optic_updater.py:206-228`). The values are
+        stored on `self.semi_apertures` (used by draw() and edge-thickness
+        operands) without altering clip apertures the user set explicitly."""
+        import numpy as np
+
+        static, params = self.build()
+        ya, _ = px.marginal_ray(static, params)
+        yb, _ = px.chief_ray(static, params)
+        r = np.abs(np.asarray(ya).ravel()) + np.abs(np.asarray(yb).ravel())
+        for k, s in enumerate(self.surfaces.specs):
+            if isinstance(s.semi_aperture, (int, float)):
+                r[k] = max(r[k], float(s.semi_aperture))
+        self.semi_apertures = r
+        return r
 
     # -- convenience views (reference `Optic.draw/info`) --------------------
     def draw(self, **kwargs):

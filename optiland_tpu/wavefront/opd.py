@@ -77,6 +77,70 @@ class OPD:
         return fig, ax
 
 
+class OPDFan:
+    """Wavefront-error pupil-slice fans: OPD along the Py and Px axes for
+    every (field, wavelength) pair (reference `wavefront/opd_fan.py:27`,
+    which traces a "cross" distribution per pair)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_rays: int = 100, strategy: str = "chief_ray"):
+        self.optic = optic
+        self.fields = (optic.fields.get_field_coords() if fields == "all"
+                       else fields)
+        self.wavelengths = (optic.wavelengths.values_um
+                            if wavelengths == "all" else wavelengths)
+        self.pupil_coord = jnp.linspace(-1.0, 1.0, num_rays)
+        # x-axis slice first, then y-axis slice (no origin merge, so the two
+        # fans index cleanly at [:num_rays] / [num_rays:])
+        zeros = jnp.zeros(num_rays)
+        Px = jnp.concatenate([self.pupil_coord, zeros])
+        Py = jnp.concatenate([zeros, self.pupil_coord])
+        static, params = optic.build()
+        fn = jax.jit(wavefront_data, static_argnums=(0,),
+                     static_argnames=("strategy",))
+        self.data = [
+            [fn(static, params, fx, fy, Px, Py,
+                jnp.asarray(w, params.cv.dtype), strategy=strategy)
+             for w in self.wavelengths]
+            for fx, fy in self.fields
+        ]
+        self.num_rays = num_rays
+
+    def fan_y(self, field_idx: int, wl_idx: int):
+        """(Py, OPD) along the y pupil axis."""
+        d = self.data[field_idx][wl_idx]
+        return self.pupil_coord, d.opd[self.num_rays:]
+
+    def fan_x(self, field_idx: int, wl_idx: int):
+        """(Px, OPD) along the x pupil axis."""
+        d = self.data[field_idx][wl_idx]
+        return self.pupil_coord, d.opd[: self.num_rays]
+
+    def view(self, figsize=(10, 3)):
+        import matplotlib.pyplot as plt
+
+        nf = len(self.fields)
+        fig, axs = plt.subplots(nf, 2, figsize=(figsize[0],
+                                                figsize[1] * nf),
+                                squeeze=False)
+        for i in range(nf):
+            for j, w in enumerate(self.wavelengths):
+                py, wy = self.fan_y(i, j)
+                px, wx = self.fan_x(i, j)
+                inten_y = self.data[i][j].intensity[self.num_rays:]
+                inten_x = self.data[i][j].intensity[: self.num_rays]
+                wy = np.where(np.asarray(inten_y) > 0, np.asarray(wy), np.nan)
+                wx = np.where(np.asarray(inten_x) > 0, np.asarray(wx), np.nan)
+                axs[i][0].plot(np.asarray(py), wy, label=f"{w:.4f} um")
+                axs[i][1].plot(np.asarray(px), wx, label=f"{w:.4f} um")
+            axs[i][0].set_xlabel("$P_y$")
+            axs[i][0].set_ylabel("OPD (waves)")
+            axs[i][1].set_xlabel("$P_x$")
+        axs[0][0].legend()
+        fig.tight_layout()
+        return fig, axs
+
+
 class ZernikeOPD(OPD):
     """OPD map + Zernike LSQ decomposition (reference `zernike_opd.py:21`)."""
 
