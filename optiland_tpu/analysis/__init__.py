@@ -14,6 +14,7 @@ from optiland_tpu.analysis.through_focus import (
 )
 from optiland_tpu.analysis.pupil_aberration import AngleVsHeight, PupilAberration
 from optiland_tpu.analysis.irradiance import IncoherentIrradiance
+from optiland_tpu.analysis.intensity import RadiantIntensity
 from optiland_tpu.analysis.jones_pupil import JonesPupil
 from optiland_tpu.analysis.mtf_vs_field import MTFvsField
 from optiland_tpu.analysis.image_simulation import (
@@ -42,6 +43,7 @@ __all__ = [
     "PupilAberration",
     "AngleVsHeight",
     "IncoherentIrradiance",
+    "RadiantIntensity",
     "JonesPupil",
     "MTFvsField",
 ]

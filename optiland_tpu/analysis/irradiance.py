@@ -21,10 +21,13 @@ def bin_irradiance(x, y, power, extent, res):
     ((xmin, xmax), (ymin, ymax)); X is the row index as in the reference."""
     (xmin, xmax), (ymin, ymax) = extent
     nx, ny = res
-    ix = jnp.clip(((x - xmin) / (xmax - xmin) * nx).astype(jnp.int32),
-                  0, nx - 1)
-    iy = jnp.clip(((y - ymin) / (ymax - ymin) * ny).astype(jnp.int32),
-                  0, ny - 1)
+    # searchsorted against the edges — np.histogram2d semantics (the
+    # reference bins with histogram2d, `analysis/irradiance.py:349`); a
+    # floor-divide can mis-bin edge-sitting values
+    x_edges = jnp.linspace(xmin, xmax, nx + 1)
+    y_edges = jnp.linspace(ymin, ymax, ny + 1)
+    ix = jnp.clip(jnp.searchsorted(x_edges, x, side="right") - 1, 0, nx - 1)
+    iy = jnp.clip(jnp.searchsorted(y_edges, y, side="right") - 1, 0, ny - 1)
     inside = ((x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax))
     w = jnp.where(inside, power, 0.0)
     grid = jnp.zeros((nx, ny), power.dtype).at[ix, iy].add(w)

@@ -534,6 +534,13 @@ class Optic:
 
         return OpticViewer(self).view(**kwargs)
 
+    def draw3D(self, **kwargs):
+        """3-D render (reference `Optic.draw3D`, VTK there; matplotlib 3-D
+        by default here — see `visualization/viewer3d.py`)."""
+        from optiland_tpu.visualization import OpticViewer3D
+
+        return OpticViewer3D(self).view(**kwargs)
+
     def info(self):
         from optiland_tpu.visualization import LensInfoViewer
 

@@ -33,11 +33,13 @@ def _stop_hit(static, params, Hx, Hy, qx, qy, wavelength):
 
 def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
                        Px, Py, wavelength, iters: int = 6,
-                       damping: float = 1.0):
+                       damping: float = 1.0, q0=None):
     """Newton-correct the normalized pupil coords so each ray crosses the
     stop surface at exactly (Px, Py) * r_stop.
 
-    Returns the corrected (Px', Py') to feed to `generate_rays`.
+    Returns the corrected (Px', Py') to feed to `generate_rays`. `q0`
+    optionally warm-starts the Newton iteration (used by the robust
+    homotopy wrapper).
     """
     from optiland_tpu.system import paraxial as px
 
@@ -61,18 +63,20 @@ def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
         dqy = (ey * dex_dqx - ex * dey_dqx) / det
         return (qx - damping * dqx, qy - damping * dqy), None
 
-    (qx, qy), _ = jax.lax.scan(body, (Px, Py), None, length=iters)
+    init = (Px, Py) if q0 is None else q0
+    (qx, qy), _ = jax.lax.scan(body, init, None, length=iters)
     return qx, qy
 
 
 def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
                     stages: int = 3, iters: int = 3):
     """Homotopy wrapper (reference `ray_aiming/robust.py:22-171`): walk the
-    field from 0 to its target in `stages` steps, warm-starting the Newton
-    solve — keeps strongly aberrated wide-angle systems convergent."""
-    PxA, PyA = Px, Py
+    field from 0 to its target in `stages` steps, warm-starting each Newton
+    solve from the previous stage's solution — keeps strongly aberrated
+    wide-angle systems convergent."""
+    q = (Px, Py)
     for s in range(1, stages + 1):
         f = s / stages
-        PxA, PyA = aim_rays_iterative(static, params, Hx * f, Hy * f,
-                                      Px, Py, wavelength, iters=iters)
-    return PxA, PyA
+        q = aim_rays_iterative(static, params, Hx * f, Hy * f,
+                               Px, Py, wavelength, iters=iters, q0=q)
+    return q

@@ -262,29 +262,63 @@ def _phase_value_grad(static, params, k, x, y, w):
 
 
 def _phase_interact(static, params, k, rays: Rays, n1, n2) -> Rays:
-    """Generalized Snell's law for a thin phase sheet (reference
-    `interactions/phase_interaction_model.py:45-131`; plane geometry)."""
+    """Generalized Snell's law for a thin phase sheet on ANY geometry
+    (reference `interactions/phase_interaction_model.py:45-131`): project
+    the phase gradient and the incident wavevector onto the surface tangent
+    plane, add them, and rebuild the normal component from |k_out| = n2 k0.
+
+    Deliberate deviation: the reference hard-codes alpha along +N, which is
+    only correct for its Plane normal (0,0,+1); on curved carriers (whose
+    geometry normal has nz<0, `standard.py:164-168`) the reference emits
+    BACKWARD-travelling rays (N=-1). Here the outgoing normal component
+    follows the incident one (`sign(k_in . n)`), so transmission continues
+    forward on every carrier geometry.
+    """
     reflective = static.is_reflective[k]
     if reflective:
         n2 = n1
     k0 = 2.0 * jnp.pi / (rays.w * 1e-3)  # wavenumber in 1/mm
 
-    # plane geometry: normal (0, 0, 1); gradient has no z component
+    # local surface normal of the carrier geometry (plane, conic, freeform)
+    nx, ny, nz = surface_normal(
+        static.geom_codes[k], static.geom_n_coeffs[k],
+        rays.x, rays.y, params.cv[k], params.conic[k], params.coeffs[k],
+        aux=static.geom_aux[k],
+    )
+
+    # ambient phase gradient (profiles are functions of (x, y): z-grad 0)
     phase, gx, gy = _phase_value_grad(static, params, k, rays.x, rays.y,
                                       rays.w)
-    k_out_x = n1 * k0 * rays.L + gx
-    k_out_y = n1 * k0 * rays.M + gy
-    R_sq = (n2 * k0) ** 2 - (k_out_x**2 + k_out_y**2)
+    gz = jnp.zeros_like(gx)
+
+    # tangential projections: G = grad(phi) - (grad(phi).N) N and
+    # k_par = k_in - (k_in.N) N
+    g_dot_n = gx * nx + gy * ny + gz * nz
+    Gx, Gy, Gz = gx - g_dot_n * nx, gy - g_dot_n * ny, gz - g_dot_n * nz
+    kix = n1 * k0 * rays.L
+    kiy = n1 * k0 * rays.M
+    kiz = n1 * k0 * rays.N
+    ki_dot_n = kix * nx + kiy * ny + kiz * nz
+    kpx = kix - ki_dot_n * nx + Gx
+    kpy = kiy - ki_dot_n * ny + Gy
+    kpz = kiz - ki_dot_n * nz + Gz
+
+    R_sq = (n2 * k0) ** 2 - (kpx**2 + kpy**2 + kpz**2)
     ok = R_sq >= 0.0
     alpha = jnp.sqrt(jnp.maximum(R_sq, 0.0))
-    sign = -1.0 if reflective else 1.0
-    # preserve the propagation direction sign through the sheet
-    alpha = sign * alpha * jnp.sign(rays.N)
-    mag = jnp.sqrt(k_out_x**2 + k_out_y**2 + alpha**2)
+    # refraction keeps going along the incident normal component; reflection
+    # reverses it (the reference's +N/-N choice with its downward normal;
+    # our normal convention follows the incident side via sign(ki.N))
+    sign = (-1.0 if reflective else 1.0) * jnp.sign(ki_dot_n)
+    alpha = sign * alpha
+    k_out_x = kpx + alpha * nx
+    k_out_y = kpy + alpha * ny
+    k_out_z = kpz + alpha * nz
+    mag = jnp.sqrt(k_out_x**2 + k_out_y**2 + k_out_z**2)
     return rays.replace(
         L=jnp.where(ok, k_out_x / mag, rays.L),
         M=jnp.where(ok, k_out_y / mag, rays.M),
-        N=jnp.where(ok, alpha / mag, rays.N),
+        N=jnp.where(ok, k_out_z / mag, rays.N),
         i=jnp.where(ok, rays.i, jnp.zeros_like(rays.i)),
         opd=rays.opd - phase / k0,
     )

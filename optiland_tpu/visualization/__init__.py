@@ -1,3 +1,4 @@
 from optiland_tpu.visualization.viewer import LensInfoViewer, OpticViewer
+from optiland_tpu.visualization.viewer3d import OpticViewer3D
 
-__all__ = ["OpticViewer", "LensInfoViewer"]
+__all__ = ["OpticViewer", "LensInfoViewer", "OpticViewer3D"]

@@ -127,3 +127,46 @@ def test_colorimetry_rejects_partial_spectrum():
 
     with pytest.raises(ValueError):
         spectrum_to_xyz([400, 500, 600], [1, 1, 1])
+
+
+def test_radiant_intensity_parity(reference):
+    """Angle-space power binning matches the reference's RadiantIntensity
+    on the same traced rays (`analysis/intensity.py:152-280`)."""
+    import numpy as np
+
+    from optiland.analysis.intensity import RadiantIntensity as RefRI
+    from optiland.samples.objectives import CookeTriplet as RefCooke
+
+    from optiland_tpu.analysis import RadiantIntensity
+    from optiland_tpu.models import CookeTriplet
+
+    kw = dict(fields=[(0.0, 0.0)], wavelengths=[0.55],
+              num_rays=6, distribution="hexapolar")
+    ref = RefRI(RefCooke(), num_angular_bins_X=16, num_angular_bins_Y=16,
+                angle_X_min=-10, angle_X_max=10, angle_Y_min=-10,
+                angle_Y_max=10, **kw)
+    ref_map = np.asarray(ref.data[0][0][0])
+
+    # bin the REFERENCE's traced rays with OUR binner: isolates binning
+    # parity from 1e-13 trace differences that flip edge-sitting rays
+    from optiland_tpu.analysis.intensity import bin_radiant_intensity
+
+    surf = ref.optic.surface_group.surfaces[-1]
+    got_map, *_ = bin_radiant_intensity(
+        np.asarray(surf.L), np.asarray(surf.M), np.asarray(surf.N),
+        np.asarray(surf.intensity), (-10, 10), (-10, 10), (16, 16))
+    # the reference histograms with bins=[x, y] -> map indexed [x_bin, y_bin];
+    # ours is image-style [y_bin, x_bin]
+    np.testing.assert_allclose(np.asarray(got_map), ref_map.T,
+                               rtol=1e-8, atol=1e-8)
+
+    # and the end-to-end path on our own trace produces the same total power
+    got = RadiantIntensity(CookeTriplet(), num_angular_bins=(16, 16),
+                           angle_x_range=(-10, 10), angle_y_range=(-10, 10),
+                           use_absolute_units=False, **kw)
+    ref_rel = RefRI(RefCooke(), num_angular_bins_X=16, num_angular_bins_Y=16,
+                    angle_X_min=-10, angle_X_max=10, angle_Y_min=-10,
+                    angle_Y_max=10, use_absolute_units=False, **kw)
+    np.testing.assert_allclose(float(np.asarray(got.data[0][0][0]).sum()),
+                               float(np.asarray(ref_rel.data[0][0][0]).sum()),
+                               rtol=1e-9)

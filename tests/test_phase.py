@@ -55,3 +55,36 @@ def test_phase_evanescent_clipped():
     g.add_wavelength(wl)
     h = g.trace(num_rays=3)
     assert np.all(np.asarray(h.intensity[-1]) == 0)
+
+
+def test_phase_on_curved_carrier_stays_forward():
+    """A radial phase profile on a curved (conic) carrier refracts like a
+    metalens and keeps propagating forward. The reference's
+    PhaseInteractionModel emits backward rays here (its +N convention only
+    matches its Plane geometry, `phase_interaction_model.py:104-107` vs
+    `standard.py:164-168`); we deviate deliberately to correct physics."""
+    import math
+
+    import numpy as np
+
+    from optiland_tpu.system.optic import Optic
+
+    k0 = 2 * np.pi / (0.55e-3)
+    f = 100.0
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, radius=200.0, thickness=100.0, is_stop=True,
+                     surface_type="phase",
+                     phase_profile=("radial", [-k0 / (2 * f)]))
+    lens.add_surface(index=2)
+    lens.set_aperture(aperture_type="EPD", value=10.0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    h = lens.trace(Hx=0.0, Hy=0.0, num_rays=8)
+    N = np.asarray(h.N[-1])
+    assert (N > 0).all()  # forward propagation preserved
+    # the metalens phase focuses the collimated beam near z = f: the spot
+    # at the image plane (100 mm behind the vertex) is far smaller than
+    # the entrance beam
+    y = np.asarray(h.y[-1])
+    i = np.asarray(h.intensity[-1])
+    assert np.abs(y[i > 0]).max() < 0.2
