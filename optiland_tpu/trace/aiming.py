@@ -69,14 +69,61 @@ def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
 
 
 def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
-                    stages: int = 3, iters: int = 3):
-    """Homotopy wrapper (reference `ray_aiming/robust.py:22-171`): walk the
-    field from 0 to its target in `stages` steps, warm-starting each Newton
-    solve from the previous stage's solution — keeps strongly aberrated
-    wide-angle systems convergent."""
-    q = (Px, Py)
-    for s in range(1, stages + 1):
-        f = s / stages
-        q = aim_rays_iterative(static, params, Hx * f, Hy * f,
-                               Px, Py, wavelength, iters=iters, q0=q)
-    return q
+                    stages: int = 10, iters: int = 4):
+    """Homotopy wrapper (reference `ray_aiming/robust.py:22-171`): deform
+    the trivial t=0 solution into the real one by walking BOTH the field and
+    the pupil target from 0 to full scale, warm-starting each Newton solve
+    from the previous stage — the batched fixed-grid analogue of the
+    reference's recursive interval subdivision. The stage walk is a
+    `lax.scan`, so the compile cost is one stage body regardless of
+    `stages`."""
+    from optiland_tpu.system import paraxial as px
+
+    ym, _ = px.marginal_ray(static, params, wavelength)
+    r_stop = ym.ravel()[static.stop_index]
+
+    def newton(qx, qy, Hxt, Hyt, Pxt, Pyt):
+        def body(carry, _):
+            ax, ay = carry
+
+            def fx(a, b):
+                sx, sy = _stop_hit(static, params, Hxt, Hyt, a, b,
+                                   wavelength)
+                return sx / r_stop - Pxt, sy / r_stop - Pyt
+
+            (ex, ey), (dex_dqx, dey_dqx) = jax.jvp(
+                lambda a: fx(a, ay), (ax,), (jnp.ones_like(ax),))
+            _, (dex_dqy, dey_dqy) = jax.jvp(
+                lambda b: fx(ax, b), (ay,), (jnp.ones_like(ay),))
+            det = dex_dqx * dey_dqy - dex_dqy * dey_dqx
+            det = jnp.where(jnp.abs(det) > 1e-14, det, 1e-14)
+            dqx = (ex * dey_dqy - ey * dex_dqy) / det
+            dqy = (ey * dex_dqx - ex * dey_dqx) / det
+            # trust region: clamp the Newton step to half a pupil radius so
+            # near-singular Jacobians at grazing incidence cannot fling the
+            # iterate out of the basin (the reference recovers from this by
+            # subdividing, `robust.py:158-170`)
+            step = jnp.sqrt(dqx * dqx + dqy * dqy)
+            lim = jnp.where(step > 0.5, 0.5 / jnp.maximum(step, 1e-30), 1.0)
+            return (ax - dqx * lim, ay - dqy * lim), None
+
+        (qx, qy), _ = jax.lax.scan(body, (qx, qy), None, length=iters)
+        return qx, qy
+
+    ts = jnp.linspace(1.0 / stages, 1.0, stages)
+
+    def stage(carry, tt):
+        qx, qy = carry
+        t, t_prev = tt
+        # differential predictor (reference `robust.py:131-141`): the target
+        # scales linearly with t, so rescale the previous solution before
+        # the corrector Newton
+        scale = t / jnp.maximum(t_prev, 1e-12)
+        qx, qy = newton(qx * scale, qy * scale,
+                        Hx * t, Hy * t, Px * t, Py * t)
+        return (qx, qy), None
+
+    t_prevs = jnp.concatenate([jnp.ones(1), ts[:-1]])
+    (qx, qy), _ = jax.lax.scan(stage, (Px * 0.0, Py * 0.0), (ts, t_prevs))
+    # final polish at the full target
+    return newton(qx, qy, Hx, Hy, Px, Py)
