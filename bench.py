@@ -78,31 +78,64 @@ def main():
     Py = jnp.asarray(r * np.sin(th))
     Hy = jnp.asarray(rng.uniform(-1, 1, size=N).astype(np.float32))
     Hx = jnp.zeros_like(Hy)
-    w = jnp.full((N,), 0.5876, jnp.float32)
+    # one wavelength per trace call, as in the reference's `Optic.trace` —
+    # the scalar enables the kernel's monochromatic dispersion hoisting
+    w = 0.5876
 
-    def merit(params):
+    def merit(params, Hx, Hy, Px, Py):
         # production hot path: fused Pallas trace kernel on TPU (final-state
-        # only — no (S, N) history), XLA fallback elsewhere
-        out = trace_system_final(static, params, Hx, Hy, Px, Py, w)
+        # only — no (S, N) history), XLA fallback elsewhere.
+        # NOTE: ray coordinates are explicit arguments, not jit-captured
+        # constants — captured device constants are re-uploaded per call on
+        # the tunneled platform (measured ~1.5 ms/call flat).
+        out = trace_system_final(static, params, Hx, Hy, Px, Py, w,
+                                 outputs=("x", "y", "intensity"))
         x, y, i = out["x"], out["y"], out["intensity"]
         wsum = jnp.sum(i) + 1e-6
         cx = jnp.sum(x * i) / wsum
         cy = jnp.sum(y * i) / wsum
         return jnp.sum(((x - cx) ** 2 + (y - cy) ** 2) * i) / wsum
 
-    step = jax.jit(jax.value_and_grad(merit))
+    # --- timing methodology -------------------------------------------
+    # The tunneled runtime (a) coalesces repeated identical dispatches and
+    # (b) signals block_until_ready before execution completes, so a naive
+    # "loop N dispatches, block at the end" loop reports fantasy numbers.
+    # Honest device time: run K chained steps INSIDE one jit (each step's
+    # params perturbed by the previous step's gradient so XLA cannot DCE or
+    # dedupe anything), force a host readback, and take the slope between
+    # two unroll depths — dispatch/readback/compile overheads cancel.
+    import jax.tree_util as jtu
 
-    # warmup/compile
-    loss, grads = step(params)
-    loss.block_until_ready()
-    assert np.isfinite(float(loss))
+    def make_unrolled(k):
+        def f(p, a, b, c, d):
+            acc = 0.0
+            for _ in range(k):
+                loss, g = jax.value_and_grad(merit)(p, a, b, c, d)
+                gs = sum(jnp.sum(v) for v in jtu.tree_leaves(g))
+                p = jtu.tree_map(
+                    lambda x: x * (1.0 + 1e-9 * jnp.tanh(gs.astype(x.dtype))),
+                    p)
+                acc = acc + loss
+            return acc
+        return jax.jit(f)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss, grads = step(params)
-    loss.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    K1, K2, REPS = 2, 12, 4
+
+    def timed(f):
+        out = np.asarray(f(params, Hx, Hy, Px, Py))  # compile + warmup
+        assert np.isfinite(out)
+        best = np.inf
+        for i in range(REPS):
+            p2 = jax.tree_util.tree_map(
+                lambda a: a * (1.0 + 1e-12 * (i + 1)), params)
+            t0 = time.perf_counter()
+            np.asarray(f(p2, Hx, Hy, Px, Py))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(make_unrolled(K1))
+    t2 = timed(make_unrolled(K2))
+    dt = (t2 - t1) / (K2 - K1)
 
     rays_per_s = N / dt
     baseline_rays_per_s = 150e6 / n_surf  # reference README claim

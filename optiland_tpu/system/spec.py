@@ -171,6 +171,9 @@ class SystemStatic:
     # identity), else None — the reference's ThinFilmCoating
     # (`optiland/coatings.py:488-605`)
     thin_films: tuple = ()
+    # any per-field vignetting factor nonzero (decided at build time from
+    # the python-level field table; lets the fused raygen skip the factors)
+    has_vignetting: bool = False
 
     @property
     def surface_indices(self):
@@ -620,6 +623,7 @@ def build_system(
         telecentric=telecentric,
         aperture_masks=tuple(aperture_masks),
         thin_films=tuple(thin_films),
+        has_vignetting=any(float(v) != 0.0 for v in list(vx) + list(vy)),
     )
     params = SystemParams(
         cv=jnp.asarray(cv, dtype),

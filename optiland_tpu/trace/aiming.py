@@ -69,18 +69,30 @@ def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
 
 
 def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
-                    stages: int = 10, iters: int = 4):
-    """Homotopy wrapper (reference `ray_aiming/robust.py:22-171`): deform
-    the trivial t=0 solution into the real one by walking BOTH the field and
-    the pupil target from 0 to full scale, warm-starting each Newton solve
-    from the previous stage — the batched fixed-grid analogue of the
-    reference's recursive interval subdivision. The stage walk is a
-    `lax.scan`, so the compile cost is one stage body regardless of
-    `stages`."""
+                    iters: int = 4, max_outer: int = 48, dt0: float = 0.25,
+                    dt_min: float = 1.0 / 1024.0, tol: float = 1e-4):
+    """Per-ray adaptive continuation (reference `ray_aiming/robust.py:22-171`):
+    deform the trivial t=0 solution into the real one by walking the field
+    AND pupil target from 0 to full scale. Unlike a fixed stage grid, each
+    ray carries its own continuation parameter `t` and step `dt`: a Newton
+    result is only ACCEPTED if the aimed ray is geometrically live (no
+    missed-surface/TIR masking — the batched analogue of the reference's
+    NaN-triggered ValueError) and hits the stop target; otherwise the step
+    is halved, exactly like the reference's recursive interval subdivision
+    — but fully batched and jittable (`lax.while_loop`)."""
+    import dataclasses
+
     from optiland_tpu.system import paraxial as px
 
     ym, _ = px.marginal_ray(static, params, wavelength)
     r_stop = ym.ravel()[static.stop_index]
+
+    # probe trace with aperture clipping disabled: validity must reflect
+    # geometry (missed surface / TIR) only — a legitimately vignetted ray
+    # still aims fine in the reference (apertures never NaN there)
+    S = static.num_surfaces
+    static_noap = dataclasses.replace(
+        static, has_aperture=(False,) * S, aperture_masks=(None,) * S)
 
     def newton(qx, qy, Hxt, Hyt, Pxt, Pyt):
         def body(carry, _):
@@ -110,20 +122,44 @@ def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
         (qx, qy), _ = jax.lax.scan(body, (qx, qy), None, length=iters)
         return qx, qy
 
-    ts = jnp.linspace(1.0 / stages, 1.0, stages)
+    def probe(qx, qy, Hxt, Hyt):
+        rays0 = generate_rays(static_noap, params, Hxt, Hyt, qx, qy,
+                              wavelength, apply_vignetting=False)
+        hist = trace_rays(static_noap, params, rays0)
+        k = static.stop_index
+        return hist.x[k], hist.y[k], hist.intensity[-1] > 0
 
-    def stage(carry, tt):
-        qx, qy = carry
-        t, t_prev = tt
+    zero = jnp.zeros_like(Px)
+
+    def cond(state):
+        k, t, dt, qx, qy = state
+        return jnp.logical_and(k < max_outer, jnp.any(t < 1.0))
+
+    def body(state):
+        k, t, dt, qx, qy = state
+        t_new = jnp.minimum(t + dt, 1.0)
         # differential predictor (reference `robust.py:131-141`): the target
-        # scales linearly with t, so rescale the previous solution before
-        # the corrector Newton
-        scale = t / jnp.maximum(t_prev, 1e-12)
-        qx, qy = newton(qx * scale, qy * scale,
-                        Hx * t, Hy * t, Px * t, Py * t)
-        return (qx, qy), None
+        # scales linearly with t, so rescale the accepted solution
+        scale = jnp.where(t > 0, t_new / jnp.maximum(t, 1e-12), 1.0)
+        qn_x, qn_y = newton(qx * scale, qy * scale,
+                            Hx * t_new, Hy * t_new,
+                            Px * t_new, Py * t_new)
+        sx, sy, live = probe(qn_x, qn_y, Hx * t_new, Hy * t_new)
+        ex = sx / r_stop - Px * t_new
+        ey = sy / r_stop - Py * t_new
+        ok = (live & (ex * ex + ey * ey < tol * tol)
+              & jnp.isfinite(qn_x) & jnp.isfinite(qn_y))
+        adv = ok & (t < 1.0)
+        qx = jnp.where(adv, qn_x, qx)
+        qy = jnp.where(adv, qn_y, qy)
+        t = jnp.where(adv, t_new, t)
+        dt = jnp.where(ok, jnp.minimum(dt * 2.0, 0.5),
+                       jnp.maximum(dt * 0.5, dt_min))
+        return (k + 1, t, dt, qx, qy)
 
-    t_prevs = jnp.concatenate([jnp.ones(1), ts[:-1]])
-    (qx, qy), _ = jax.lax.scan(stage, (Px * 0.0, Py * 0.0), (ts, t_prevs))
-    # final polish at the full target
+    state = (jnp.zeros((), jnp.int32), zero, jnp.full_like(Px, dt0),
+             zero, zero)
+    _, t, _, qx, qy = jax.lax.while_loop(cond, body, state)
+    # final polish at the full target (quadratic convergence from the
+    # accepted t=1 solution tightens tol -> machine precision)
     return newton(qx, qy, Hx, Hy, Px, Py)

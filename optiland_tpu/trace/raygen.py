@@ -25,7 +25,7 @@ from optiland_tpu.system.spec import SystemParams, SystemStatic
 
 def vignetting_factors(static: SystemStatic, params: SystemParams, Hx, Hy):
     """Nearest-neighbor interpolation of (vx, vy) over the field table."""
-    max_field = jnp.max(jnp.sqrt(params.x_fields**2 + params.y_fields**2))
+    max_field = jnp.sqrt(jnp.max(params.x_fields**2 + params.y_fields**2))
     scale = jnp.where(max_field == 0, 1.0, max_field)
     fx = params.x_fields / scale
     fy = params.y_fields / scale
@@ -46,7 +46,7 @@ def _ray_origins(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     """Starting positions by field type (reference field_types/*.py)."""
     from optiland_tpu.system.spec import positions_of
     pos = positions_of(static, params)
-    max_field = jnp.max(jnp.sqrt(params.x_fields**2 + params.y_fields**2))
+    max_field = jnp.sqrt(jnp.max(params.x_fields**2 + params.y_fields**2))
     field_x = max_field * Hx
     field_y = max_field * Hy
 

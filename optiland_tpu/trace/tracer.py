@@ -498,7 +498,8 @@ def trace_rays(static: SystemStatic, params: SystemParams, rays0: Rays,
 
 
 def trace_system_final(static: SystemStatic, params: SystemParams, Hx, Hy,
-                       Px, Py, wavelength, apply_vignetting: bool = True):
+                       Px, Py, wavelength, apply_vignetting: bool = True,
+                       outputs=None):
     """Generate + aim + trace, returning ONLY the final-surface state.
 
     This is the optimization/bench hot path: when the system class is
@@ -508,12 +509,23 @@ def trace_system_final(static: SystemStatic, params: SystemParams, Hx, Hy,
     Falls back to the XLA tracer otherwise. Returns a dict with
     x/y/z/L/M/N/intensity/opd arrays of shape (N,).
     """
-    from optiland_tpu.trace.fused import on_tpu, supports_fused, trace_final
+    from optiland_tpu.trace.fused import (
+        on_tpu,
+        supports_fused,
+        supports_fused_raygen,
+        trace_final,
+        trace_system_final_fused,
+    )
 
+    if (supports_fused(static) and supports_fused_raygen(static) and on_tpu()
+            and params.cv.dtype == jnp.float32):
+        # one kernel launch: raygen fused into the trace tile
+        return trace_system_final_fused(static, params, Hx, Hy, Px, Py,
+                                        wavelength, outputs=outputs)
     rays0 = generate_rays(static, params, Hx, Hy, Px, Py, wavelength,
                           apply_vignetting=apply_vignetting)
     if supports_fused(static) and on_tpu():
-        return trace_final(static, params, rays0)
+        return trace_final(static, params, rays0, wavelength=wavelength)
     h = trace_rays(static, params, rays0)
     return dict(x=h.x[-1], y=h.y[-1], z=h.z[-1], L=h.L[-1], M=h.M[-1],
                 N=h.N[-1], intensity=h.intensity[-1], opd=h.opd[-1])

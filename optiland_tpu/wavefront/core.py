@@ -71,7 +71,7 @@ def _tilt_correction(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
     infinite object (reference `strategy.py:88-140`)."""
     if static.field_type != "angle" or not static.object_infinite:
         return jnp.zeros_like(Px)
-    max_field = jnp.max(jnp.sqrt(params.x_fields**2 + params.y_fields**2))
+    max_field = jnp.sqrt(jnp.max(params.x_fields**2 + params.y_fields**2))
     fx = jnp.deg2rad(Hx * max_field)
     fy = jnp.deg2rad(Hy * max_field)
     tx, ty = jnp.tan(fx), jnp.tan(fy)

@@ -232,3 +232,97 @@ def test_fused_fallback_for_unsupported():
     np.testing.assert_allclose(np.asarray(out["y"]), np.asarray(ref.y[-1]))
     hist = trace_history_fused(static, params, rays0)
     np.testing.assert_allclose(np.asarray(hist.y), np.asarray(ref.y))
+
+
+def test_fused_uniform_wavelength_parity():
+    """Scalar-wavelength (monochromatic) fast path: per-surface n(λ) and
+    Beer-Lambert α are hoisted out of the kernel (`_uniform_tables`) —
+    forward AND parameter gradients (incl. mat_coeffs via the hoisted
+    n_table) must match the per-ray-w kernel and the XLA oracle."""
+    from optiland_tpu.models import CookeTriplet
+
+    lens = CookeTriplet()
+    static, params = lens.build()
+    assert supports_fused(static)
+    rays0 = _rays(static, params, n=256, w=0.55)
+
+    ref = trace_rays(static, params, rays0)
+    got = trace_final(static, params, rays0, interpret=True,
+                      wavelength=jnp.asarray(0.55))
+    for name in ("x", "y", "intensity", "opd"):
+        np.testing.assert_allclose(
+            np.asarray(got[name]),
+            np.asarray(getattr(ref, name if name != "intensity" else name)[-1]),
+            atol=1e-8, err_msg=name)
+
+    rays0 = jax.lax.stop_gradient(rays0)
+
+    def m_uniform(p):
+        out = trace_final(static, p, rays0, interpret=True,
+                          wavelength=jnp.asarray(0.55))
+        return jnp.sum(out["x"] ** 2 + out["y"] ** 2 + out["opd"])
+
+    def m_xla(p):
+        h = trace_rays(static, p, rays0)
+        return jnp.sum(h.x[-1] ** 2 + h.y[-1] ** 2 + h.opd[-1])
+
+    gu = jax.grad(m_uniform)(params)
+    gx = jax.grad(m_xla)(params)
+    for name in ("cv", "conic", "thickness", "mat_coeffs"):
+        a = np.asarray(getattr(gu, name))
+        b = np.asarray(getattr(gx, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
+
+
+def test_fused_raygen_trace_parity():
+    """In-kernel raygen (`_tile_raygen` + `trace_system_final_fused`) vs the
+    XLA `generate_rays` -> `trace_rays` pipeline: positions, directions and
+    parameter gradients (incl. the raygen scalars' dependence on
+    thickness/curvature through EPL/EPD) must match."""
+    from optiland_tpu.trace.fused import (
+        supports_fused_raygen,
+        trace_system_final_fused,
+    )
+
+    lens = _singlet(newton_iters=4, asphere=True)
+    static, params = lens.build()
+    assert supports_fused(static) and supports_fused_raygen(static)
+
+    rng = np.random.default_rng(3)
+    n = 192
+    Px = jnp.asarray(rng.uniform(-1, 1, n))
+    Py = jnp.asarray(rng.uniform(-1, 1, n))
+    Hx = jnp.asarray(rng.uniform(-1, 1, n))
+    Hy = jnp.asarray(rng.uniform(-1, 1, n))
+    w = jnp.asarray(0.55)
+
+    rays0 = generate_rays(static, params, Hx, Hy, Px, Py, w)
+    ref = trace_rays(static, params, rays0)
+    got = trace_system_final_fused(static, params, Hx, Hy, Px, Py, w,
+                                   interpret=True)
+    for name, col in (("x", ref.x), ("y", ref.y), ("L", ref.L),
+                      ("intensity", ref.intensity), ("opd", ref.opd)):
+        np.testing.assert_allclose(np.asarray(got[name]),
+                                   np.asarray(col[-1]), atol=1e-8,
+                                   err_msg=name)
+
+    def m_fused(p):
+        out = trace_system_final_fused(static, p, Hx, Hy, Px, Py, w,
+                                       interpret=True)
+        return jnp.sum(out["x"] ** 2 + out["y"] ** 2 + out["opd"])
+
+    def m_xla(p):
+        r0 = generate_rays(static, p, Hx, Hy, Px, Py, w)
+        h = trace_rays(static, p, r0)
+        return jnp.sum(h.x[-1] ** 2 + h.y[-1] ** 2 + h.opd[-1])
+
+    gf = jax.grad(m_fused)(params)
+    gx = jax.grad(m_xla)(params)
+    for name in ("cv", "conic", "thickness", "coeffs"):
+        a = np.asarray(getattr(gf, name))
+        b = np.asarray(getattr(gx, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
