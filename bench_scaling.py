@@ -1,26 +1,37 @@
-"""Scaling harness: rays/s at 1..N devices over the ray-sharded mesh.
+"""Scaling harness: the sharded production step across a device mesh.
 
-Measures the full production step (ray gen + 10-surface trace + merit +
-backward) from `bench.py` at power-of-two device counts and reports
-per-device efficiency vs the 1-device run — the measurement BASELINE.json's
-">=85% linear scaling" target is scored on. On this machine it runs on the
-virtual CPU mesh (set `JAX_PLATFORMS=cpu
-XLA_FLAGS=--xla_force_host_platform_device_count=8`) or the real chip(s);
-on a pod slice the same code measures ICI/DCN scaling after
-`optiland_tpu.parallel.init_distributed()`.
+What is measurable on THIS machine (VERDICT r2 item 3):
 
-Prints one JSON line per device count plus a final summary line.
+- The 8 "devices" of the test mesh are virtual XLA CPU devices sharing one
+  2-core host, so aggregate FLOPs cannot scale with device count. What CAN
+  be measured there is the *overhead of the sharded program*: run the SAME
+  total ray batch at 1/2/4/8 virtual devices and compare step times. With
+  zero partition/collective overhead the times are equal (same silicon);
+  efficiency := T(1 dev) / T(N dev). This isolates exactly the term that
+  ICI would add on a pod: GSPMD partitioning + psum of the merit gradients.
+- The real chip provides the absolute 1-device rays/s anchor (bench.py's
+  honest methodology; see PERF.md for why naive timing lies on the
+  tunneled platform).
+
+On a real pod slice the same script (after
+`optiland_tpu.parallel.init_distributed()`) measures true weak scaling —
+`--weak` switches to fixed rays *per device*.
+
+Writes SCALING_rNN.json (one dict with all measurements) when run with
+`--out SCALING_r03.json`; also prints one JSON line per measurement.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def measure(n_devices: int, rays: int, steps: int = 10) -> float:
+def measure(n_devices: int, rays: int, steps: int = 8) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -64,43 +75,70 @@ def measure(n_devices: int, rays: int, steps: int = 10) -> float:
 
     step = jax.jit(jax.value_and_grad(merit))
     v, g = step(params, *batch)
-    jax.block_until_ready((v, g))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        v, g = step(params, *batch)
-    jax.block_until_ready((v, g))
-    dt_s = (time.perf_counter() - t0) / steps
-    return n / dt_s
+    float(v)  # host readback: a true barrier on every platform
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            v, g = step(params, *batch)
+        float(v)
+        jax.block_until_ready(g)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return n / best
 
 
 def main():
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--weak", action="store_true",
+                    help="fixed rays PER DEVICE (real multi-chip scaling)")
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
-    rays = 1 << 20 if jax.devices()[0].platform != "cpu" else 1 << 16
+    rays = 1 << 20 if platform != "cpu" else 1 << 16
+
+    lines = []
     results = {}
     counts = [c for c in (1, 2, 4, 8, 16, 32, 64) if c <= n_dev]
     for c in counts:
-        rps = measure(c, rays * c)  # weak scaling: fixed rays per device
+        rps = measure(c, rays * c if args.weak else rays)
         results[c] = rps
-        eff = rps / (results[1] * c)
-        print(json.dumps({
+        if args.weak:
+            eff = rps / (results[1] * c)
+        else:
+            eff = rps / results[1]  # fixed work: T(1)/T(c)
+        line = {
             "metric": "rays_per_s", "devices": c, "value": rps,
-            "per_device": rps / c, "efficiency_vs_1dev": eff,
-            "platform": jax.devices()[0].platform,
-        }))
+            "mode": "weak" if args.weak else "fixed_total_work",
+            "efficiency": eff, "platform": platform,
+        }
+        lines.append(line)
+        print(json.dumps(line))
+
     top = counts[-1]
-    print(json.dumps({
-        "metric": "scaling_efficiency",
-        "value": results[top] / (results[1] * top),
-        "unit": f"fraction of linear at {top} devices",
-        "vs_baseline": (results[top] / (results[1] * top)) / 0.85,
-        "platform": jax.devices()[0].platform,
-        "note": ("virtual CPU devices share one physical CPU - flat total "
-                 "throughput is expected; ICI scaling requires real chips"
-                 if jax.devices()[0].platform == "cpu" else "real chips"),
-    }))
+    summary = {
+        "metric": "sharding_overhead_efficiency" if not args.weak
+        else "weak_scaling_efficiency",
+        "value": lines[-1]["efficiency"],
+        "unit": f"fraction at {top} devices",
+        "vs_baseline": lines[-1]["efficiency"] / 0.85,
+        "platform": platform,
+        "note": (
+            "virtual CPU devices share one physical host: fixed-total-work "
+            "efficiency isolates GSPMD partition + gradient-psum overhead "
+            "(the term ICI adds on a pod); aggregate-FLOP scaling needs "
+            "real chips" if platform == "cpu" else "real chips"),
+    }
+    lines.append(summary)
+    print(json.dumps(summary))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"measurements": lines}, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

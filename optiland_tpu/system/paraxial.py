@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from optiland_tpu.materials.dispersion import material_index
-from optiland_tpu.system.spec import (INT_REFLECT, INT_THIN_LENS, SystemParams, SystemStatic, positions_of)
+from optiland_tpu.system.spec import (INT_PHASE, INT_REFLECT, INT_THIN_LENS, SystemParams, SystemStatic, positions_of)
 
 
 def index_table(static: SystemStatic, params: SystemParams, wavelength):
@@ -77,6 +77,15 @@ def trace_generic(static: SystemStatic, params: SystemParams, y, u, z,
         elif interactions[k] == INT_THIN_LENS:
             u_ = (n_prev * u_ - y_ / f_thin[k]) / n[k]
         else:
+            # NOTE: phase surfaces intentionally contribute only their
+            # carrier-geometry power here — the reference's `Paraxial`
+            # properties engine runs `ParaxialRayTracer`
+            # (`raytrace/paraxial_ray_tracer.py:115-128`), which never calls
+            # interaction models, so f2/EPL/... of a DOE ignore the phase
+            # gradient there too (the reference's
+            # `PhaseInteractionModel.interact_paraxial_rays` is only reached
+            # via `Surface.trace(ParaxialRays)`). The per-profile paraxial
+            # gradient itself lives in `trace/phase.py` for parity.
             power = (n[k] - n_prev) * cv[k]
             u_ = (n_prev * u_ - y_ * power) / n[k]
         heights.append(y_)

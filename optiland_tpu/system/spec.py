@@ -59,6 +59,8 @@ PHASE_NONE = 0
 PHASE_CONSTANT = 1       # params: [value]
 PHASE_RADIAL = 2         # params: coeffs of r^2, r^4, ...
 PHASE_LINEAR_GRATING = 3  # params: [Kx, Ky]
+PHASE_GRID = 4           # tabulated phase, bilinear interp (ref phase/grid.py)
+PHASE_HEIGHT = 5         # height map x dispersive material (ref phase/height_profile.py)
 
 # coating kinds (static per surface; params live in SystemParams.coating_params)
 COAT_NONE = 0
@@ -174,6 +176,9 @@ class SystemStatic:
     # any per-field vignetting factor nonzero (decided at build time from
     # the python-level field table; lets the fused raygen skip the factors)
     has_vignetting: bool = False
+    # per-surface aux for tabulated phase: None, or ("grid", gy, gx), or
+    # ("height", gy, gx, mat_formula, mat_n_coeffs)
+    phase_aux: tuple = ()
 
     @property
     def surface_indices(self):
@@ -212,6 +217,14 @@ class SystemParams:
     vx: jax.Array  # (F,) vignetting factors
     vy: jax.Array
     wavelengths: jax.Array  # (W,) in um
+    # tabulated phase/height grids, (S, GY, GX) with GY=GX=0 when no
+    # grid/height phase surface exists; per-surface bounds live in
+    # phase_params[:, :4] = (xmin, xmax, ymin, ymax). Differentiable: a
+    # grid-phase table is an optimization variable (reference
+    # `phase/grid.py` via GridInterpolator).
+    phase_grids: jax.Array | None = None
+    # dispersion coefficients of the height-profile material per surface
+    phase_mat_coeffs: jax.Array | None = None
 
     def positions(self) -> jax.Array:
         """Vertex z positions (S,), with pos[1] = 0. pos[0] = -thickness[0]
@@ -432,6 +445,9 @@ def build_system(
     coatings = []
     bsdfs = []
     phase_kinds = []
+    phase_aux = [None] * S
+    phase_grid_list = [None] * S
+    phase_mat_coeffs = np.zeros((S, MAX_COEFFS))
     mat_formulas = []
     mat_n_coeffs = []
     has_absorption = []
@@ -490,11 +506,40 @@ def build_system(
             prof = s.geom_params.get("phase_profile", ("constant", 0.0))
             kind_name, *pvals = prof
             pk = {"constant": PHASE_CONSTANT, "radial": PHASE_RADIAL,
-                  "linear_grating": PHASE_LINEAR_GRATING}[kind_name]
+                  "linear_grating": PHASE_LINEAR_GRATING,
+                  "grid": PHASE_GRID,
+                  "height_profile": PHASE_HEIGHT}[kind_name]
             phase_kinds.append(pk)
             if kind_name == "radial":
                 pvals = list(pvals[0])
-            phase_params[idx, : len(pvals)] = pvals
+            if kind_name in ("grid", "height_profile"):
+                # ("grid", x_coords, y_coords, grid) /
+                # ("height_profile", x_coords, y_coords, height, material)
+                # — uniform axes only (the reference's torch path has the
+                # same requirement, `phase/interpolators.py:75-88`)
+                xs = np.asarray(pvals[0], float)
+                ys = np.asarray(pvals[1], float)
+                gr = np.asarray(pvals[2], float)
+                if gr.shape != (len(ys), len(xs)):
+                    raise ValueError(
+                        "phase grid must have shape (len(y), len(x))")
+                for ax in (xs, ys):
+                    d = np.diff(ax)
+                    if len(d) and not np.allclose(d, d[0], rtol=1e-6):
+                        raise ValueError(
+                            "phase grid axes must be uniformly spaced")
+                phase_params[idx, :4] = (xs[0], xs[-1], ys[0], ys[-1])
+                phase_grid_list[idx] = gr
+                if kind_name == "height_profile":
+                    pmat = resolve_material(pvals[3])
+                    phase_aux[idx] = ("height", gr.shape[0], gr.shape[1],
+                                      pmat.formula, pmat.n_coeffs)
+                    phase_mat_coeffs[idx, : pmat.n_coeffs] = (
+                        pmat.coefficients)
+                else:
+                    phase_aux[idx] = ("grid", gr.shape[0], gr.shape[1])
+            else:
+                phase_params[idx, : len(pvals)] = pvals
         elif s.surface_type == "grating":
             interactions.append(INT_DIFFRACT)
             gp = s.geom_params
@@ -624,7 +669,14 @@ def build_system(
         aperture_masks=tuple(aperture_masks),
         thin_films=tuple(thin_films),
         has_vignetting=any(float(v) != 0.0 for v in list(vx) + list(vy)),
+        phase_aux=tuple(phase_aux),
     )
+    gy_max = max([0] + [g.shape[0] for g in phase_grid_list if g is not None])
+    gx_max = max([0] + [g.shape[1] for g in phase_grid_list if g is not None])
+    phase_grids = np.zeros((S, gy_max, gx_max))
+    for k, g in enumerate(phase_grid_list):
+        if g is not None:
+            phase_grids[k, : g.shape[0], : g.shape[1]] = g
     params = SystemParams(
         cv=jnp.asarray(cv, dtype),
         conic=jnp.asarray(conic, dtype),
@@ -647,5 +699,7 @@ def build_system(
         vx=jnp.asarray(np.asarray(vx, float), dtype),
         vy=jnp.asarray(np.asarray(vy, float), dtype),
         wavelengths=jnp.asarray(np.asarray(wavelengths, float), dtype),
+        phase_grids=jnp.asarray(phase_grids, dtype),
+        phase_mat_coeffs=jnp.asarray(phase_mat_coeffs, dtype),
     )
     return static, params

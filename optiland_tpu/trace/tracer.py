@@ -239,26 +239,12 @@ def _apply_coating(static, params, k, rays: Rays, k0_dirs, n1, n2) -> Rays:
 
 def _phase_value_grad(static, params, k, x, y, w):
     """Phase (radians) and its (x, y) gradient for a phase surface
-    (reference `phase/{constant,radial,linear_grating}.py`)."""
-    kind = static.phase_kinds[k]
-    p = params.phase_params[k]
-    if kind == PHASE_CONSTANT:
-        z = jnp.zeros_like(x)
-        return p[0] + z, z, z
-    if kind == PHASE_RADIAL:
-        r2 = x * x + y * y
-        phase = jnp.zeros_like(x)
-        dphi_dr2 = jnp.zeros_like(x)
-        rp = r2
-        for ci in range(p.shape[0]):
-            phase = phase + p[ci] * rp
-            dphi_dr2 = dphi_dr2 + p[ci] * (ci + 1) * jnp.where(
-                r2 > 0, rp / jnp.maximum(r2, 1e-30), 0.0)
-            rp = rp * r2
-        return phase, 2.0 * x * dphi_dr2, 2.0 * y * dphi_dr2
-    if kind == PHASE_LINEAR_GRATING:
-        return p[0] * x + p[1] * y, p[0] + 0.0 * x, p[1] + 0.0 * y
-    raise ValueError(f"Unknown phase kind {kind}")
+    (reference `phase/{constant,radial,linear_grating,grid,
+    height_profile}.py`); shared with the paraxial engine in
+    `trace/phase.py`."""
+    from optiland_tpu.trace.phase import phase_value_grad
+
+    return phase_value_grad(static, params, k, x, y, w)
 
 
 def _phase_interact(static, params, k, rays: Rays, n1, n2) -> Rays:

@@ -88,3 +88,235 @@ def test_phase_on_curved_carrier_stays_forward():
     y = np.asarray(h.y[-1])
     i = np.asarray(h.intensity[-1])
     assert np.abs(y[i > 0]).max() < 0.2
+
+
+# ---------------------------------------------------------------------------
+# grid + height-profile phase (reference phase/grid.py, phase/height_profile.py)
+# ---------------------------------------------------------------------------
+def _mk_grid(fn, nx=51, ny=51, lim=3.0):
+    xs = np.linspace(-lim, lim, nx)
+    ys = np.linspace(-lim, lim, ny)
+    return xs, ys, np.array([[fn(x, y) for x in xs] for y in ys])
+
+
+def test_grid_phase_interp_golden():
+    """Bilinear sample reproduces node values exactly and the gradient of a
+    smooth table to interpolation order (mirrors reference
+    `tests/test_grid_phase.py` tolerances)."""
+    import jax.numpy as jnp
+
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.trace.phase import phase_value_grad
+
+    xs, ys, grid = _mk_grid(lambda x, y: x**2 + y**3, lim=2.0)
+    g = Optic()
+    g.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    g.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                  surface_type="phase",
+                  phase_profile=("grid", xs, ys, grid))
+    g.add_surface(index=2)
+    g.set_aperture("EPD", 2.0)
+    g.add_wavelength(0.55)
+    static, params = g.build()
+
+    # node values exact
+    xq = jnp.asarray([xs[10], xs[30]])
+    yq = jnp.asarray([ys[20], ys[40]])
+    val, _, _ = phase_value_grad(static, params, 1, xq, yq, 0.55)
+    np.testing.assert_allclose(np.asarray(val),
+                               [grid[20, 10], grid[40, 30]], atol=1e-9)
+
+    # gradient of the smooth function (reference tol: 1e-2 on a 50pt grid)
+    xq = jnp.asarray([0.5])
+    yq = jnp.asarray([1.0])
+    _, gx, gy = phase_value_grad(static, params, 1, xq, yq, 0.55)
+    np.testing.assert_allclose(np.asarray(gx), [2 * 0.5], atol=5e-2)
+    np.testing.assert_allclose(np.asarray(gy), [3 * 1.0**2], atol=5e-2)
+
+
+def test_grid_phase_trace_parity(reference):
+    """Trace through a bilinear-exact grid phase (φ = a x + b y + c x y):
+    every interpolator reproduces it exactly, so our trace must match the
+    reference's to float precision (`phase/grid.py` + the reference's
+    PhaseInteractionModel)."""
+    from optiland.phase.grid import GridPhaseProfile
+
+    from optiland_tpu.system.optic import Optic
+
+    wl = 0.55
+    k0 = 2 * np.pi / (wl * 1e-3)
+    fn = lambda x, y: 0.08 * k0 * x + 0.04 * k0 * y + 0.01 * k0 * x * y  # noqa: E731
+    xs, ys, grid = _mk_grid(fn, lim=3.0)
+
+    import optiland.backend as be
+
+    be.set_backend("numpy")
+    from optiland.optic import Optic as RefOptic
+    ref = RefOptic()
+    ref.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    ref.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                    phase_profile=GridPhaseProfile(
+                        be.array(xs), be.array(ys), be.array(grid)))
+    ref.add_surface(index=2)
+    ref.set_aperture(aperture_type="EPD", value=4.0)
+    ref.set_field_type("angle")
+    ref.add_field(y=0)
+    ref.add_wavelength(value=wl, is_primary=True)
+
+    got = Optic()
+    got.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    got.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                    surface_type="phase",
+                    phase_profile=("grid", xs, ys, grid))
+    got.add_surface(index=2)
+    got.set_aperture("EPD", 4.0)
+    got.set_field_type("angle")
+    got.add_field(y=0)
+    got.add_wavelength(wl)
+
+    r = ref.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5,
+                  distribution="hexapolar")
+    h = got.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5)
+    np.testing.assert_allclose(np.asarray(h.y[-1]), np.asarray(r.y),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(h.x[-1]), np.asarray(r.x),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(h.M[-1]), np.asarray(r.M),
+                               atol=1e-10)
+
+
+def test_height_profile_phase_parity(reference):
+    """Height-profile phase: φ = 2π/λ·(n−1)·h with a dispersive material
+    (reference `phase/height_profile.py:62-82`); linear height map so the
+    interpolators agree exactly."""
+    from optiland.materials.ideal import IdealMaterial
+    from optiland.phase.height_profile import HeightProfile
+
+    from optiland_tpu.system.optic import Optic
+
+    wl = 0.6328
+    fn = lambda x, y: 1e-4 * x + 5e-5 * y  # noqa: E731  (heights in mm)
+    xs, ys, hmap = _mk_grid(fn, lim=3.0)
+
+    import optiland.backend as be
+
+    be.set_backend("numpy")
+    from optiland.optic import Optic as RefOptic
+    ref = RefOptic()
+    ref.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    ref.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                    phase_profile=HeightProfile(
+                        be.array(xs), be.array(ys), be.array(hmap),
+                        IdealMaterial(1.75)))
+    ref.add_surface(index=2)
+    ref.set_aperture(aperture_type="EPD", value=4.0)
+    ref.set_field_type("angle")
+    ref.add_field(y=0)
+    ref.add_wavelength(value=wl, is_primary=True)
+
+    got = Optic()
+    got.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    got.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                    surface_type="phase",
+                    phase_profile=("height_profile", xs, ys, hmap, 1.75))
+    got.add_surface(index=2)
+    got.set_aperture("EPD", 4.0)
+    got.set_field_type("angle")
+    got.add_field(y=0)
+    got.add_wavelength(wl)
+
+    r = ref.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5,
+                  distribution="hexapolar")
+    h = got.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5)
+    np.testing.assert_allclose(np.asarray(h.M[-1]), np.asarray(r.M),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(h.y[-1]), np.asarray(r.y),
+                               atol=1e-8)
+
+
+def test_phase_paraxial_gradient_parity(reference):
+    """Per-profile paraxial gradient dφ/dy|x=0 matches the reference's
+    `get_paraxial_gradient` for radial and grid profiles (reference
+    `phase/radial.py`, `phase/grid.py`). Note the reference's `Paraxial`
+    properties engine ignores phase (its ParaxialRayTracer never calls
+    interaction models) — our paraxial engine mirrors that, so the parity
+    check is on the gradient helper itself."""
+    import jax.numpy as jnp
+
+    import optiland.backend as be
+    from optiland.phase.grid import GridPhaseProfile
+    from optiland.phase.radial import RadialPhaseProfile
+
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.trace.phase import paraxial_phase_gradient
+
+    be.set_backend("numpy")
+    wl = 0.55
+    k0 = 2 * np.pi / (wl * 1e-3)
+    yq = np.linspace(-2.0, 2.0, 7)
+
+    # radial
+    coeffs = [-k0 / 160.0, 1e-3 * k0]
+    ref_prof = RadialPhaseProfile(coefficients=coeffs)
+    ref_g = np.asarray(ref_prof.get_paraxial_gradient(be.array(yq)))
+    g = Optic()
+    g.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    g.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                  surface_type="phase", phase_profile=("radial", coeffs))
+    g.add_surface(index=2)
+    g.set_aperture("EPD", 4.0)
+    g.add_wavelength(wl)
+    static, params = g.build()
+    got_g = np.asarray(paraxial_phase_gradient(static, params, 1,
+                                               jnp.asarray(yq), wl))
+    np.testing.assert_allclose(got_g, ref_g, rtol=1e-9, atol=1e-12)
+
+    # grid (bilinear-exact table so interpolators agree)
+    fn = lambda x, y: 0.05 * k0 * x + 0.03 * k0 * y  # noqa: E731
+    xs, ys, grid = _mk_grid(fn, lim=3.0)
+    ref_prof = GridPhaseProfile(be.array(xs), be.array(ys), be.array(grid))
+    ref_g = np.asarray(ref_prof.get_paraxial_gradient(be.array(yq)))
+    g2 = Optic()
+    g2.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    g2.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                   surface_type="phase", phase_profile=("grid", xs, ys, grid))
+    g2.add_surface(index=2)
+    g2.set_aperture("EPD", 4.0)
+    g2.add_wavelength(wl)
+    static2, params2 = g2.build()
+    got_g = np.asarray(paraxial_phase_gradient(static2, params2, 1,
+                                               jnp.asarray(yq), wl))
+    np.testing.assert_allclose(got_g, ref_g, rtol=1e-6, atol=1e-8)
+
+
+def test_grid_phase_differentiable():
+    """The grid table is an optimization variable: gradients of a traced
+    merit w.r.t. params.phase_grids are finite and nonzero."""
+    import jax
+    import jax.numpy as jnp
+
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.trace.tracer import trace_system
+
+    wl = 0.55
+    k0 = 2 * np.pi / (wl * 1e-3)
+    xs, ys, grid = _mk_grid(lambda x, y: 0.05 * k0 * x, nx=21, ny=21)
+    g = Optic()
+    g.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    g.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                  surface_type="phase",
+                  phase_profile=("grid", xs, ys, grid))
+    g.add_surface(index=2)
+    g.set_aperture("EPD", 4.0)
+    g.add_wavelength(wl)
+    static, params = g.build()
+
+    def m(p):
+        h = trace_system(static, p, jnp.zeros(5), jnp.zeros(5),
+                         jnp.linspace(-0.9, 0.9, 5), jnp.zeros(5), wl)
+        return jnp.sum(h.x[-1] ** 2 + h.y[-1] ** 2)
+
+    gr = jax.grad(m)(params)
+    gg = np.asarray(gr.phase_grids)
+    assert np.all(np.isfinite(gg))
+    assert np.abs(gg).max() > 0
