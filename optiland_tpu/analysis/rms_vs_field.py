@@ -53,13 +53,14 @@ class RmsWavefrontErrorVsField:
         hys = np.linspace(0, 1, num_fields)
 
         fn = jax.jit(wavefront_data, static_argnums=(0,),
-                     static_argnames=("strategy",))
+                     static_argnames=("strategy", "aiming"))
         rows = []
         for hy in hys:
             cols = []
             for w in self.wavelengths:
                 d = fn(static, params, 0.0, float(hy), Px, Py,
-                       jnp.asarray(w, params.cv.dtype), strategy=strategy)
+                       jnp.asarray(w, params.cv.dtype), strategy=strategy,
+                       aiming=getattr(optic, "ray_aiming", "paraxial"))
                 m = (d.intensity > 0).astype(d.opd.dtype)
                 rms = jnp.sqrt(jnp.sum(d.opd**2 * m) /
                                jnp.maximum(jnp.sum(m), 1.0))

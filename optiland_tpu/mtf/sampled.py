@@ -32,9 +32,10 @@ class SampledMTF:
         Px, Py = out[0], out[1]
         static, params = optic.build()
         data = jax.jit(wavefront_data, static_argnums=(0,),
-                       static_argnames=("strategy",))(
+                       static_argnames=("strategy", "aiming"))(
             static, params, field[0], field[1], Px, Py,
-            jnp.asarray(self.wavelength, params.cv.dtype))
+            jnp.asarray(self.wavelength, params.cv.dtype),
+            aiming=getattr(optic, "ray_aiming", "paraxial"))
         self.x_norm = Px
         self.y_norm = Py
         self.intensity = data.intensity

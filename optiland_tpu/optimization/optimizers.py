@@ -253,7 +253,20 @@ class _OptaxOptimizer:
     def _tx(self):
         raise NotImplementedError
 
-    def optimize(self, n_steps: int = 100, disp: bool = False, callback=None):
+    def optimize(self, n_steps: int = 100, disp: bool = False, callback=None,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 0, resume: bool = False,
+                 metrics: list | None = None):
+        """Run the jitted first-order loop.
+
+        checkpoint_dir/checkpoint_every/resume: orbax (x, opt_state, step)
+        checkpointing for long runs (SURVEY §5 checkpoint/resume;
+        `optiland_tpu.utils.checkpoint`). `metrics`: optional list that
+        collects one dict per step with loss, grad-norm, step wall time and
+        evals/s (SURVEY §5 metrics/observability).
+        """
+        import time
+
         import optax
 
         c = self.problem._compile()
@@ -277,18 +290,56 @@ class _OptaxOptimizer:
             updates, opt_state = tx.update(grads, opt_state, x)
             x = optax.apply_updates(x, updates)
             x = jnp.clip(x, lo2, hi2)
-            return x, opt_state, loss
+            gnorm = jnp.sqrt(sum(jnp.sum(g * g)
+                                 for g in jax.tree_util.tree_leaves(grads)))
+            return x, opt_state, loss, gnorm
 
         x = jnp.asarray(self.problem.x0())
         opt_state = tx.init(x)
+        start = 0
+        if checkpoint_dir and resume:
+            from optiland_tpu.utils.checkpoint import (
+                checkpoint_step,
+                latest_checkpoint,
+                restore_checkpoint,
+            )
+
+            latest = latest_checkpoint(checkpoint_dir)
+            if latest is not None:
+                state = restore_checkpoint(latest)
+                x = jnp.asarray(state["x"])
+                # opt_state round-trips as flat leaves (orbax does not
+                # preserve optax NamedTuple node types)
+                opt_state = jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state),
+                    [jnp.asarray(leaf)
+                     for leaf in state["opt_state_leaves"]])
+                start = checkpoint_step(latest)
+
         losses = []
-        for i in range(n_steps):
-            x, opt_state, loss = step(x, opt_state)
-            losses.append(float(loss))
+        for i in range(start, n_steps):
+            t0 = time.perf_counter()
+            x, opt_state, loss, gnorm = step(x, opt_state)
+            loss_f = float(loss)
+            dt = time.perf_counter() - t0
+            losses.append(loss_f)
+            if metrics is not None:
+                metrics.append({"step": i, "loss": loss_f,
+                                "grad_norm": float(gnorm),
+                                "step_time_s": dt,
+                                "evals_per_s": 1.0 / max(dt, 1e-12)})
             if callback is not None:
-                callback(i, float(loss))
+                callback(i, loss_f)
+            if checkpoint_dir and checkpoint_every \
+                    and (i + 1) % checkpoint_every == 0:
+                from optiland_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, i + 1,
+                                {"step": i + 1, "x": x,
+                                 "opt_state_leaves":
+                                     jax.tree_util.tree_leaves(opt_state)})
             if disp and (i % max(1, n_steps // 10) == 0):
-                print(f"step {i:5d}  loss {float(loss):.6e}")
+                print(f"step {i:5d}  loss {loss_f:.6e}")
         self.problem.apply(x)
         return OptimizationResult(x=np.asarray(x), fun=losses[-1],
                                   loss_history=losses, nit=n_steps,

@@ -29,7 +29,8 @@ def calculate_grid_size(num_rays: int) -> tuple[int, int]:
     return eff, num_rays * 2
 
 
-def _pupil_grid(static, params, Hx, Hy, wavelength, num_rays, strategy):
+def _pupil_grid(static, params, Hx, Hy, wavelength, num_rays, strategy,
+                aiming="paraxial"):
     """Complex pupil on a num_rays x num_rays grid (unit-disk masked)."""
     lin = jnp.linspace(-1.0, 1.0, num_rays)
     X, Y = jnp.meshgrid(lin, lin)
@@ -37,7 +38,7 @@ def _pupil_grid(static, params, Hx, Hy, wavelength, num_rays, strategy):
     inside = Px**2 + Py**2 <= 1.0
 
     data = wavefront_data(static, params, Hx, Hy, Px, Py, wavelength,
-                          strategy=strategy)
+                          strategy=strategy, aiming=aiming)
     amp = jnp.sqrt(data.intensity)
     P = amp * jnp.exp(-1j * 2.0 * jnp.pi * data.opd)
     P = jnp.where(inside, P, 0.0)
@@ -79,12 +80,13 @@ class ScalarFFTPSF:
         self.strategy = strategy
 
         static, params = optic.build()
+        aiming = getattr(optic, "ray_aiming", "paraxial")
 
         @jax.jit
         def compute(params, wls):
             pupils = jax.vmap(
                 lambda w: _pupil_grid(static, params, field[0], field[1], w,
-                                      num_rays, strategy)
+                                      num_rays, strategy, aiming)
             )(wls)
             return pupils, _psf_from_pupils(pupils, grid_size)
 
@@ -130,7 +132,7 @@ class ScalarFFTPSF:
 
 
 def _vector_pupils(static, params, Hx, Hy, wavelength, num_rays, strategy,
-                   state):
+                   state, aiming="paraxial"):
     """Component pupils for one wavelength: (n_states*3, n, n) complex
     (reference `psf/vectorial_fft.py:25-66`)."""
     lin = jnp.linspace(-1.0, 1.0, num_rays)
@@ -139,7 +141,8 @@ def _vector_pupils(static, params, Hx, Hy, wavelength, num_rays, strategy,
     inside = Px**2 + Py**2 <= 1.0
 
     data = wavefront_data(static, params, Hx, Hy, Px, Py, wavelength,
-                          strategy=strategy, polarization=state)
+                          strategy=strategy, polarization=state,
+                          aiming=aiming)
     valid = data.intensity > 0
     phase = jnp.exp(-1j * 2.0 * jnp.pi * data.opd)
     pupils = []
@@ -193,12 +196,14 @@ class VectorialFFTPSF:
         self.strategy = strategy
 
         static, params = optic.build()
+        aiming = getattr(optic, "ray_aiming", "paraxial")
 
         @jax.jit
         def compute(params, wls):
             pupils = jax.vmap(
                 lambda w: _vector_pupils(static, params, field[0], field[1],
-                                         w, num_rays, strategy, state)
+                                         w, num_rays, strategy, state,
+                                         aiming)
             )(wls)
             pupils = pupils.reshape((-1,) + pupils.shape[-2:])
             return pupils, _psf_from_vector_pupils(pupils, grid_size)

@@ -206,7 +206,7 @@ class ScalarHuygensPSF:
         Px, Py = X.ravel(), Y.ravel()
 
         data = jax.jit(wavefront_data, static_argnums=(0,),
-                       static_argnames=("strategy",))(
+                       static_argnames=("strategy", "aiming"))(
             static, params, field[0], field[1], Px, Py, wl, strategy=strategy)
         amp = jnp.sqrt(data.intensity) * inside
         opd_mm = data.opd * self.wavelength * 1e-3
@@ -247,7 +247,7 @@ class ScalarHuygensPSF:
             ideal_data = data
         else:
             ideal_data = jax.jit(wavefront_data, static_argnums=(0,),
-                                 static_argnames=("strategy",))(
+                                 static_argnames=("strategy", "aiming"))(
                 static, params, 0.0, 0.0, Px, Py, wl, strategy=strategy)
         ideal_amp = jnp.ones_like(ideal_data.intensity) * inside
         peak = huygens_sum_xla((zero, zero, izc),
@@ -347,7 +347,8 @@ class VectorialHuygensPSF:
         Px, Py = X.ravel(), Y.ravel()
 
         data = wavefront_data(static, params, field[0], field[1], Px, Py, wl,
-                              strategy=strategy, polarization=state)
+                              strategy=strategy, polarization=state,
+                              aiming=getattr(optic, "ray_aiming", "paraxial"))
         valid = (data.intensity > 0) & inside
         opd_mm = data.opd * self.wavelength * 1e-3
 

@@ -23,30 +23,81 @@ class MonteCarlo:
         self.mesh = mesh
         self._results = None
 
-    def run(self, num_iterations: int, seed: int = 0):
+    def run(self, num_iterations: int, seed: int = 0,
+            chunk_size: int | None = None, checkpoint_dir: str | None = None):
         """Evaluate all draws; returns a pandas DataFrame like the reference
-        (perturbation columns, compensator columns, operand columns)."""
+        (perturbation columns, compensator columns, operand columns).
+
+        `chunk_size` splits the batch into device launches of that size;
+        with `checkpoint_dir`, each finished chunk is orbax-checkpointed and
+        an interrupted run resumes from the last chunk (draws are a pure
+        function of `seed`, so shards are idempotent — SURVEY §5 failure
+        semantics / checkpoint rows)."""
         import pandas as pd
 
         draws = self.tol.draw_table(num_iterations, seed)
         c = self.tol._compile()
-        draws_j = jnp.asarray(draws)
         params = self.tol._nominal_params
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        def eval_batch(batch):
+            batch_j = jnp.asarray(batch)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_dev = self.mesh.devices.size
-            pad = (-num_iterations) % n_dev
-            if pad:
-                draws_j = jnp.concatenate([draws_j, draws_j[:pad]], axis=0)
-            draws_j = jax.device_put(
-                draws_j, NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
-            )
+                n_dev = self.mesh.devices.size
+                pad = (-batch_j.shape[0]) % n_dev
+                if pad:
+                    batch_j = jnp.concatenate([batch_j, batch_j[:pad]],
+                                              axis=0)
+                batch_j = jax.device_put(
+                    batch_j,
+                    NamedSharding(self.mesh, P(self.mesh.axis_names[0])))
+            v, cx = c["pipeline_batch"](params, batch_j)
+            return (np.asarray(v)[: batch.shape[0]],
+                    np.asarray(cx)[: batch.shape[0]])
 
-        values, comp_x = c["pipeline_batch"](params, draws_j)
-        values = np.asarray(values)[:num_iterations]
-        comp_x = np.asarray(comp_x)[:num_iterations]
+        if chunk_size is None:
+            values, comp_x = eval_batch(draws)
+        else:
+            start_chunk = 0
+            vals_parts, comp_parts = [], []
+            if checkpoint_dir:
+                from optiland_tpu.utils.checkpoint import (
+                    checkpoint_step,
+                    latest_checkpoint,
+                    restore_checkpoint,
+                )
+
+                latest = latest_checkpoint(checkpoint_dir)
+                if latest is not None:
+                    state = restore_checkpoint(latest)
+                    vals_parts = [np.asarray(a) for a in state["values"]]
+                    comp_parts = [
+                        np.asarray(a).reshape(np.asarray(v).shape[0], -1)
+                        if "comp_x" in state else
+                        np.zeros((np.asarray(v).shape[0], 0))
+                        for v, a in zip(
+                            state["values"],
+                            state.get("comp_x", state["values"]))
+                    ]
+                    start_chunk = checkpoint_step(latest)
+            n_chunks = -(-num_iterations // chunk_size)
+            for ci in range(start_chunk, n_chunks):
+                sl = slice(ci * chunk_size, (ci + 1) * chunk_size)
+                v, cx = eval_batch(draws[sl])
+                vals_parts.append(v)
+                comp_parts.append(cx)
+                if checkpoint_dir:
+                    from optiland_tpu.utils.checkpoint import save_checkpoint
+
+                    state = {"values": vals_parts}
+                    if comp_parts and comp_parts[0].size:
+                        state["comp_x"] = comp_parts
+                    save_checkpoint(checkpoint_dir, ci + 1, state)
+            values = np.concatenate(vals_parts, axis=0)
+            comp_x = np.concatenate(comp_parts, axis=0)
+        values = values[:num_iterations]
+        comp_x = comp_x[:num_iterations]
 
         data = {}
         for j, p in enumerate(self.tol.perturbations):

@@ -22,6 +22,55 @@ from optiland_tpu.trace.raygen import generate_rays
 from optiland_tpu.trace.tracer import trace_rays
 
 
+def stop_radius(static, params, wavelength):
+    """Effective stop radius used as the aim target (reference
+    `ray_aiming/initialization.py:24-189`): float-by-stop systems use the
+    stop surface's set semi-aperture; otherwise iterative/robust aiming
+    traces a REAL marginal ray (axis-parallel at y=EPD/2 for infinite
+    objects, object-center to pupil-edge otherwise) and takes |y| at the
+    stop, falling back to the paraxial marginal height when that ray dies.
+    """
+    from optiland_tpu.core.rays import make_rays
+    from optiland_tpu.system import paraxial as px
+    from optiland_tpu.system.spec import positions_of
+
+    stop = static.stop_index
+    if static.aperture_type == "float_by_stop":
+        return params.ap_radius[stop]
+
+    ym, _ = px.marginal_ray(static, params, wavelength)
+    r_par = jnp.abs(ym.ravel()[stop])
+
+    epd = px.EPD(static, params)
+    epl = px.EPL(static, params)
+    pos = positions_of(static, params)
+    dtype = params.cv.dtype
+    half = epd / 2.0
+    if static.object_infinite:
+        x0 = jnp.zeros((1,), dtype)
+        y0 = jnp.full((1,), half, dtype)
+        z0 = jnp.full((1,), pos[1] - 100.0, dtype)
+        L0 = jnp.zeros((1,), dtype)
+        M0 = jnp.zeros((1,), dtype)
+        N0 = jnp.ones((1,), dtype)
+    else:
+        dy = half
+        dz = epl - pos[0]
+        mag = jnp.sqrt(dy * dy + dz * dz)
+        x0 = jnp.zeros((1,), dtype)
+        y0 = jnp.zeros((1,), dtype)
+        z0 = jnp.full((1,), pos[0], dtype)
+        L0 = jnp.zeros((1,), dtype)
+        M0 = jnp.full((1,), dy / mag, dtype)
+        N0 = jnp.full((1,), dz / mag, dtype)
+    rays = make_rays(x0, y0, z0, L0, M0, N0, wavelength=wavelength,
+                     dtype=dtype)
+    hist = trace_rays(static, params, rays)
+    r_real = jnp.abs(hist.y[stop][0])
+    ok = (hist.intensity[stop][0] > 0) & jnp.isfinite(r_real) & (r_real > 0)
+    return jnp.where(ok, r_real, r_par)
+
+
 def _stop_hit(static, params, Hx, Hy, qx, qy, wavelength):
     """(x, y) at the stop surface for rays aimed at pupil coords (qx, qy)."""
     rays0 = generate_rays(static, params, Hx, Hy, qx, qy,
@@ -41,10 +90,7 @@ def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
     optionally warm-starts the Newton iteration (used by the robust
     homotopy wrapper).
     """
-    from optiland_tpu.system import paraxial as px
-
-    ym, _ = px.marginal_ray(static, params, wavelength)
-    r_stop = ym.ravel()[static.stop_index]
+    r_stop = stop_radius(static, params, wavelength)
 
     def body(carry, _):
         qx, qy = carry
@@ -69,7 +115,7 @@ def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
 
 
 def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
-                    iters: int = 4, max_outer: int = 48, dt0: float = 0.25,
+                    iters: int = 6, max_outer: int = 128, dt0: float = 0.125,
                     dt_min: float = 1.0 / 1024.0, tol: float = 1e-4):
     """Per-ray adaptive continuation (reference `ray_aiming/robust.py:22-171`):
     deform the trivial t=0 solution into the real one by walking the field
@@ -82,10 +128,7 @@ def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
     — but fully batched and jittable (`lax.while_loop`)."""
     import dataclasses
 
-    from optiland_tpu.system import paraxial as px
-
-    ym, _ = px.marginal_ray(static, params, wavelength)
-    r_stop = ym.ravel()[static.stop_index]
+    r_stop = stop_radius(static, params, wavelength)
 
     # probe trace with aperture clipping disabled: validity must reflect
     # geometry (missed surface / TIR) only — a legitimately vignetted ray
@@ -153,7 +196,9 @@ def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
         qx = jnp.where(adv, qn_x, qx)
         qy = jnp.where(adv, qn_y, qy)
         t = jnp.where(adv, t_new, t)
-        dt = jnp.where(ok, jnp.minimum(dt * 2.0, 0.5),
+        # gentle growth: x2 overshoots at extreme field and thrashes the
+        # accept/reject cycle (measured on the 160-deg projection lens)
+        dt = jnp.where(ok, jnp.minimum(dt * 1.5, 0.25),
                        jnp.maximum(dt * 0.5, dt_min))
         return (k + 1, t, dt, qx, qy)
 
@@ -161,5 +206,19 @@ def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
              zero, zero)
     _, t, _, qx, qy = jax.lax.while_loop(cond, body, state)
     # final polish at the full target (quadratic convergence from the
-    # accepted t=1 solution tightens tol -> machine precision)
-    return newton(qx, qy, Hx, Hy, Px, Py)
+    # accepted t=1 solution tightens tol -> machine precision) — guarded:
+    # an unguarded Newton can blow an extreme-field iterate up to NaN, so
+    # keep the polished coords only where they are finite, live, and at
+    # least as close to the stop target as the continuation solution
+    qpx, qpy = newton(qx, qy, Hx, Hy, Px, Py)
+
+    def err2(ax, ay):
+        sx, sy, live = probe(ax, ay, Hx, Hy)
+        ex = sx / r_stop - Px
+        ey = sy / r_stop - Py
+        e2 = ex * ex + ey * ey
+        return jnp.where(live & jnp.isfinite(e2), e2, jnp.inf)
+
+    better = (jnp.isfinite(qpx) & jnp.isfinite(qpy)
+              & (err2(qpx, qpy) <= err2(qx, qy)))
+    return jnp.where(better, qpx, qx), jnp.where(better, qpy, qy)

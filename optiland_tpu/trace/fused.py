@@ -34,23 +34,47 @@ import jax.numpy as jnp
 import numpy as np
 
 from optiland_tpu.geometry.surfaces import (
+    GEOM_BICONIC,
+    GEOM_CHEBYSHEV,
     GEOM_CONIC,
     GEOM_EVEN_ASPHERE,
+    GEOM_FORBES_Q2D,
+    GEOM_FORBES_QBFS,
     GEOM_ODD_ASPHERE,
     GEOM_PLANE,
+    GEOM_POLYNOMIAL_XY,
+    GEOM_TOROIDAL,
+    GEOM_ZERNIKE,
+    sag_and_grad,
 )
 from optiland_tpu.materials.dispersion import material_index
 from optiland_tpu.system.spec import (
     COAT_NONE,
     COAT_SIMPLE,
+    INT_DIFFRACT,
     INT_NONE,
+    INT_PHASE,
     INT_REFLECT,
+    INT_THIN_LENS,
+    PHASE_CONSTANT,
+    PHASE_LINEAR_GRATING,
+    PHASE_NONE,
+    PHASE_RADIAL,
     SystemParams,
     SystemStatic,
 )
 
-_SUPPORTED_GEOMS = (GEOM_PLANE, GEOM_CONIC, GEOM_EVEN_ASPHERE,
-                    GEOM_ODD_ASPHERE)
+# inline fast path (hand-tuned sag/grad); everything else in
+# _SUPPORTED_GEOMS goes through the shared `sag_and_grad` library with a
+# conic-seeded Newton (same structure as the XLA `intersect`)
+_INLINE_GEOMS = (GEOM_PLANE, GEOM_CONIC, GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE)
+_SUPPORTED_GEOMS = _INLINE_GEOMS + (
+    GEOM_POLYNOMIAL_XY, GEOM_BICONIC, GEOM_TOROIDAL, GEOM_CHEBYSHEV,
+    GEOM_ZERNIKE, GEOM_FORBES_QBFS, GEOM_FORBES_Q2D)
+_SUPPORTED_INTERACTIONS = (0, INT_REFLECT, INT_NONE, INT_THIN_LENS,
+                           INT_DIFFRACT, INT_PHASE)
+_ANALYTIC_PHASE = (PHASE_NONE, PHASE_CONSTANT, PHASE_RADIAL,
+                   PHASE_LINEAR_GRATING)
 _EPS = 1e-12
 
 # ray-tile geometry: LANE lanes x TR sublane rows per grid step
@@ -64,6 +88,9 @@ _SUB = 32  # register-blocking row chunk (one f32 vreg of sublanes)
 # land far below f32 eps (the kernel's only hardware dtype). The XLA path
 # keeps `static.newton_iters` for f64 reference parity.
 _NEWTON_FUSED_MAX = 2
+# freeform seeds (conic guess on a biconic/toroidal/Zernike carrier) start
+# further from the root than asphere seeds; give them a few more steps
+_NEWTON_FUSED_MAX_FF = 6
 
 
 def on_tpu() -> bool:
@@ -87,7 +114,8 @@ def supports_fused(static: SystemStatic) -> bool:
     return (
         not static.has_abs_cs
         and all(g in _SUPPORTED_GEOMS for g in static.geom_codes)
-        and all(i in (0, INT_REFLECT, INT_NONE) for i in static.interactions)
+        and all(i in _SUPPORTED_INTERACTIONS for i in static.interactions)
+        and all(pk in _ANALYTIC_PHASE for pk in static.phase_kinds)
         and all(c in (COAT_NONE, COAT_SIMPLE) for c in static.coatings)
         and all(b is None for b in static.bsdfs)
         and static.apodization is None
@@ -239,7 +267,7 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
     enclosing graph), so no per-ray dispersion math runs in-tile.
     """
     (cv, conic, coeffs, thickness, tilt, decenter, mat_coeffs,
-     coating_params, n_table) = diffp
+     coating_params, n_table, grating, phase_params, focal_length) = diffp
     ap_radius, k_wl, k_val, alpha_table = nondiffp
     S = static.num_surfaces
     pos_prev = jnp.zeros((), cv.dtype)
@@ -311,7 +339,29 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
         validf = jnp.where(jnp.abs(A) > _EPS, validf, one)
 
         n_coeffs = static.geom_n_coeffs[k]
-        if code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE) and n_coeffs:
+        aux_k = static.geom_aux[k]
+        freeform = code not in _INLINE_GEOMS
+        if freeform:
+            # conic-seeded fixed-count Newton through the shared sag/grad
+            # library (`geometry/surfaces.py:sag_and_grad`) — the same
+            # structure as the XLA `intersect`, with the detached-iterate +
+            # single-IFT-step trick below so the in-kernel VJP never stores
+            # the iteration chain
+            t = jax.lax.stop_gradient(t)
+            n_newton = min(static.newton_iters, _NEWTON_FUSED_MAX_FF)
+            for _it in range(n_newton + 1):
+                if _it == n_newton:
+                    t = jax.lax.stop_gradient(t)
+                xt = x + t * L
+                yt = y + t * M
+                zt = z + t * N
+                s_val, gx, gy = sag_and_grad(code, n_coeffs, xt, yt, cvk,
+                                             conic[k], coeffs[k], aux_k)
+                f = s_val - zt
+                fp = gx * L + gy * M - N
+                fp = jnp.where(jnp.abs(fp) > _EPS, fp, eps)
+                t = t - f / fp
+        elif code in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE) and n_coeffs:
             # Fixed-count Newton refinement with analytic sag gradient.
             # Iterations run on a detached root, then ONE differentiable
             # step closes the graph: t* = t - F/F' with F(t)≈0 gives
@@ -360,42 +410,68 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
         interaction = static.interactions[k]
         if interaction != INT_NONE:
             # surface normal (aligned into the incident direction)
-            r2 = x * x + y * y
-            _, fx, fy, godd = _sag_grad_terms(
-                code, n_coeffs, coeffs[k], cvk, kk, r2, False)
-            if godd is None:
-                gx = x * fx
-                gy = y * fy
+            if freeform:
+                _, gx, gy = sag_and_grad(code, n_coeffs, x, y, cvk,
+                                         conic[k], coeffs[k], aux_k)
             else:
-                gx = x * fx + x * godd
-                gy = y * fy + y * godd
+                r2 = x * x + y * y
+                _, fx, fy, godd = _sag_grad_terms(
+                    code, n_coeffs, coeffs[k], cvk, kk, r2, False)
+                if godd is None:
+                    gx = x * fx
+                    gy = y * fy
+                else:
+                    gx = x * fx + x * godd
+                    gy = y * fy + y * godd
             inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
             nx, ny, nz = gx * inv_mag, gy * inv_mag, -inv_mag
 
-            dot = L * nx + M * ny + N * nz
-            sgn = jnp.sign(dot)
-            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-            cosi = jnp.abs(dot)
-
-            if interaction == INT_REFLECT:
-                L = L - 2.0 * cosi * nx
-                M = M - 2.0 * cosi * ny
-                N = N - 2.0 * cosi * nz
-                n_post = n_pre
-            else:
+            if interaction in (INT_THIN_LENS, INT_DIFFRACT, INT_PHASE):
                 n_post = n_of(k)
-                u = n_pre / n_post
-                d2 = 1.0 - u * u * (1.0 - cosi * cosi)
-                okf = (d2 >= 0.0).astype(d2.dtype)
-                rt = jnp.sqrt(jnp.maximum(d2, 0.0))
-                Lr = u * L + nx * (rt - u * cosi)
-                Mr = u * M + ny * (rt - u * cosi)
-                Nr = u * N + nz * (rt - u * cosi)
-                L = okf * Lr + (1.0 - okf) * L
-                M = okf * Mr + (1.0 - okf) * M
-                N = okf * Nr + (1.0 - okf) * N
-                i = i * okf
-            n_pre = n_post
+                if interaction == INT_THIN_LENS:
+                    # ideal thin lens (tracer `_thin_lens_interact`)
+                    ux = L / N
+                    uy = M / N
+                    ux2 = (n_pre * ux - x / focal_length[k]) / n_post
+                    uy2 = (n_pre * uy - y / focal_length[k]) / n_post
+                    N = jax.lax.rsqrt(1.0 + ux2 * ux2 + uy2 * uy2)
+                    L = ux2 * N
+                    M = uy2 * N
+                elif interaction == INT_DIFFRACT:
+                    L, M, N, i = _tile_diffract(
+                        static, k, grating, L, M, N, i, w,
+                        nx, ny, nz, gx, gy, n_pre, n_post)
+                else:
+                    L, M, N, i, opd = _tile_phase(
+                        static, k, phase_params, x, y, L, M, N, i, opd, w,
+                        nx, ny, nz, n_pre, n_post,
+                        static.is_reflective[k])
+                n_pre = n_post
+            else:
+                dot = L * nx + M * ny + N * nz
+                sgn = jnp.sign(dot)
+                nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+                cosi = jnp.abs(dot)
+
+                if interaction == INT_REFLECT:
+                    L = L - 2.0 * cosi * nx
+                    M = M - 2.0 * cosi * ny
+                    N = N - 2.0 * cosi * nz
+                    n_post = n_pre
+                else:
+                    n_post = n_of(k)
+                    u = n_pre / n_post
+                    d2 = 1.0 - u * u * (1.0 - cosi * cosi)
+                    okf = (d2 >= 0.0).astype(d2.dtype)
+                    rt = jnp.sqrt(jnp.maximum(d2, 0.0))
+                    Lr = u * L + nx * (rt - u * cosi)
+                    Mr = u * M + ny * (rt - u * cosi)
+                    Nr = u * N + nz * (rt - u * cosi)
+                    L = okf * Lr + (1.0 - okf) * L
+                    M = okf * Mr + (1.0 - okf) * M
+                    N = okf * Nr + (1.0 - okf) * N
+                    i = i * okf
+                n_pre = n_post
 
             if static.coatings[k] == COAT_SIMPLE:
                 # fixed-R/T coating: intensity scale only (reference
@@ -434,12 +510,140 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
     return x, y, z, L, M, N, i, opd
 
 
+
+
+def _tile_diffract(static, k, grating, L, M, N, i, w,
+                   nx, ny, nz, gx, gy, n1, n2):
+    """In-kernel grating diffraction — mirrors `tracer._grating_interact`
+    + `core.rays.grating_diffract` (reference `diffractive_model.py:28-61`,
+    `real_rays.py:207-522`). (nx, ny, nz) is the raw nz<0 carrier normal,
+    (gx, gy) its sag gradient."""
+    m = grating[k, 0]
+    d = grating[k, 1]
+    angle = grating[k, 2]
+    code = static.geom_codes[k]
+    reflective = static.is_reflective[k]
+    one = jnp.ones_like(L)
+
+    if code == GEOM_PLANE:
+        nxx = jnp.zeros_like(L)
+        nyy = jnp.zeros_like(L)
+        nzz = one
+        fx = -jnp.sin(angle) * one
+        fy = jnp.cos(angle) * one
+        fz = jnp.zeros_like(L)
+    else:
+        nxx, nyy, nzz = nx, ny, nz
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        tz_ = gx * ca + gy * sa
+        ux, uy, uz = -nxx, -nyy, -nzz
+        fx = uy * tz_ - uz * sa
+        fy = uz * ca - ux * tz_
+        fz = ux * sa - uy * ca
+        inv = jax.lax.rsqrt(fx * fx + fy * fy + fz * fz)
+        fx, fy, fz = -fx * inv, -fy * inv, -fz * inv
+
+    pp = d * jax.lax.rsqrt(fx * fx + fy * fy)
+
+    # align the normal into the incident direction (rays._align_normal)
+    dot = L * nxx + M * nyy + N * nzz
+    sgn = jnp.sign(dot)
+    nxx, nyy, nzz = nxx * sgn, nyy * sgn, nzz * sgn
+    cosi = jnp.abs(dot)
+
+    utx = L - cosi * nxx
+    uty = M - cosi * nyy
+    utz = N - cosi * nzz
+    fdotn = fx * nxx + fy * nyy + fz * nzz
+    ftx = fx - fdotn * nxx
+    fty = fy - fdotn * nyy
+    ftz = fz - fdotn * nzz
+
+    n2c = -n2 if reflective else n2
+    Tx = n1 * pp * utx + m * w * ftx
+    Ty = n1 * pp * uty + m * w * fty
+    Tz = n1 * pp * utz + m * w * ftz
+    Q = pp * pp * n2 * n2 - (Tx * Tx + Ty * Ty + Tz * Tz)
+    okf = (Q >= 0.0).astype(L.dtype)
+    root = jnp.sqrt(jnp.maximum(Q, 0.0))
+    inv_den = 1.0 / (pp * n2c)
+    s = -1.0 if reflective else 1.0
+    Lr = (Tx - nxx * root) * inv_den
+    Mr = (Ty - nyy * root) * inv_den
+    Nr = (Tz + s * nzz * root) * inv_den
+    inv_mag = jax.lax.rsqrt(Lr * Lr + Mr * Mr + Nr * Nr)
+    L = okf * Lr * inv_mag + (1.0 - okf) * L
+    M = okf * Mr * inv_mag + (1.0 - okf) * M
+    N = okf * Nr * inv_mag + (1.0 - okf) * N
+    return L, M, N, i * okf
+
+
+def _phase_vg_inline(kind, p, x, y):
+    """Analytic phase value + gradient for the in-kernel phase branch
+    (constant / radial / linear grating; grid/height kinds are excluded by
+    `supports_fused`)."""
+    if kind == PHASE_CONSTANT:
+        z = jnp.zeros_like(x)
+        return p[0] + z, z, z
+    if kind == PHASE_RADIAL:
+        r2 = x * x + y * y
+        phase = jnp.zeros_like(x)
+        dphi_dr2 = jnp.zeros_like(x)
+        rp = r2
+        rp_prev = jnp.ones_like(x)
+        for ci in range(p.shape[0]):
+            phase = phase + p[ci] * rp
+            dphi_dr2 = dphi_dr2 + p[ci] * (ci + 1) * rp_prev
+            rp_prev = rp
+            rp = rp * r2
+        return phase, 2.0 * x * dphi_dr2, 2.0 * y * dphi_dr2
+    # PHASE_LINEAR_GRATING
+    return p[0] * x + p[1] * y, p[0] + 0.0 * x, p[1] + 0.0 * y
+
+
+def _tile_phase(static, k, phase_params, x, y, L, M, N, i, opd, w,
+                nx, ny, nz, n1, n2, reflective):
+    """In-kernel generalized-Snell phase sheet — mirrors
+    `tracer._phase_interact` (reference
+    `interactions/phase_interaction_model.py:45-131`)."""
+    if reflective:
+        n2 = n1
+    k0 = 2.0 * jnp.pi / (w * 1e-3)
+    phase, gpx, gpy = _phase_vg_inline(static.phase_kinds[k],
+                                       phase_params[k], x, y)
+    g_dot_n = gpx * nx + gpy * ny
+    Gx = gpx - g_dot_n * nx
+    Gy = gpy - g_dot_n * ny
+    Gz = -g_dot_n * nz
+    kix = n1 * k0 * L
+    kiy = n1 * k0 * M
+    kiz = n1 * k0 * N
+    ki_dot_n = kix * nx + kiy * ny + kiz * nz
+    kpx = kix - ki_dot_n * nx + Gx
+    kpy = kiy - ki_dot_n * ny + Gy
+    kpz = kiz - ki_dot_n * nz + Gz
+    R_sq = (n2 * k0) ** 2 - (kpx * kpx + kpy * kpy + kpz * kpz)
+    okf = (R_sq >= 0.0).astype(L.dtype)
+    alpha = jnp.sqrt(jnp.maximum(R_sq, 0.0))
+    sgn = (-1.0 if reflective else 1.0) * jnp.sign(ki_dot_n)
+    alpha = sgn * alpha
+    kox = kpx + alpha * nx
+    koy = kpy + alpha * ny
+    koz = kpz + alpha * nz
+    inv_mag = jax.lax.rsqrt(kox * kox + koy * koy + koz * koz)
+    L = okf * kox * inv_mag + (1.0 - okf) * L
+    M = okf * koy * inv_mag + (1.0 - okf) * M
+    N = okf * koz * inv_mag + (1.0 - okf) * N
+    return L, M, N, i * okf, opd - phase / k0
+
+
 def _diff_params(params: SystemParams, n_table=None):
     if n_table is None:
         n_table = jnp.zeros_like(params.cv)
     return (params.cv, params.conic, params.coeffs, params.thickness,
             params.tilt, params.decenter, params.mat_coeffs,
-            params.coating_params, n_table)
+            params.coating_params, n_table, params.grating,
+            params.phase_params, params.focal_length)
 
 
 def _nondiff_params(params: SystemParams, alpha_table=None):
@@ -991,17 +1195,17 @@ def _hist_xla(static, params, rays_flat):
 
     diffp, nondiffp = params
     (cv, conic, coeffs, thickness, tilt, decenter, mat_coeffs,
-     coating_params, _n_table) = diffp
+     coating_params, _n_table, grating, phase_params, focal_length) = diffp
     ap_radius, k_wl, k_val, _alpha_table = nondiffp
     # rebuild a SystemParams with the traced leaves; remaining leaves are
     # placeholders never touched by the supported system class
     p = SystemParams(
         cv=cv, conic=conic, coeffs=coeffs, thickness=thickness, tilt=tilt,
-        decenter=decenter, focal_length=jnp.zeros_like(cv),
+        decenter=decenter, focal_length=focal_length,
         mat_coeffs=mat_coeffs, k_wl=k_wl, k_val=k_val, ap_radius=ap_radius,
-        grating=jnp.zeros((cv.shape[0], 3), cv.dtype),
+        grating=grating,
         coating_params=coating_params,
-        phase_params=jnp.zeros((cv.shape[0], 8), cv.dtype),
+        phase_params=phase_params,
         cs_pos=jnp.zeros((cv.shape[0], 3), cv.dtype),
         aperture_value=jnp.zeros((), cv.dtype),
         x_fields=jnp.zeros((1,), cv.dtype), y_fields=jnp.zeros((1,), cv.dtype),

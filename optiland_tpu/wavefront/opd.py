@@ -33,9 +33,11 @@ class OPD:
         self.strategy = strategy
         static, params = optic.build()
         self.data = jax.jit(
-            wavefront_data, static_argnums=(0,), static_argnames=("strategy",)
+            wavefront_data, static_argnums=(0,),
+            static_argnames=("strategy", "aiming")
         )(static, params, field[0], field[1], self.Px, self.Py,
-          jnp.asarray(self.wavelength, params.cv.dtype), strategy=strategy)
+          jnp.asarray(self.wavelength, params.cv.dtype), strategy=strategy,
+          aiming=getattr(optic, "ray_aiming", "paraxial"))
 
     def rms(self):
         """Intensity-masked RMS OPD in waves (reference `opd.py:145-159`)."""
@@ -97,10 +99,12 @@ class OPDFan:
         Py = jnp.concatenate([zeros, self.pupil_coord])
         static, params = optic.build()
         fn = jax.jit(wavefront_data, static_argnums=(0,),
-                     static_argnames=("strategy",))
+                     static_argnames=("strategy", "aiming"))
+        aiming = getattr(optic, "ray_aiming", "paraxial")
         self.data = [
             [fn(static, params, fx, fy, Px, Py,
-                jnp.asarray(w, params.cv.dtype), strategy=strategy)
+                jnp.asarray(w, params.cv.dtype), strategy=strategy,
+                aiming=aiming)
              for w in self.wavelengths]
             for fx, fy in self.fields
         ]

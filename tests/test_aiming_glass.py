@@ -10,16 +10,16 @@ from optiland_tpu.models import CookeTriplet
 def test_iterative_aiming_hits_stop_targets():
     import jax.numpy as jnp
 
-    from optiland_tpu.system import paraxial as px
-    from optiland_tpu.trace.aiming import aim_rays_iterative
+    from optiland_tpu.trace.aiming import aim_rays_iterative, stop_radius
     from optiland_tpu.trace.raygen import generate_rays
     from optiland_tpu.trace.tracer import trace_rays
 
     lens = CookeTriplet()
     static, params = lens.build()
     stop = static.stop_index
-    ym, _ = px.marginal_ray(static, params)
-    r_stop = float(np.asarray(ym).ravel()[stop])
+    # the aim target is the REAL marginal-ray stop radius (reference
+    # `ray_aiming/initialization.py:72-135` RealReferenceStrategy)
+    r_stop = float(np.asarray(stop_radius(static, params, 0.55)))
 
     Py = jnp.asarray(np.linspace(-0.9, 0.9, 7))
     Px = jnp.zeros_like(Py)

@@ -326,3 +326,143 @@ def test_fused_raygen_trace_parity():
         scale = max(np.abs(b).max(), 1e-9)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
                                    err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# widened system class (VERDICT r2 item 4): freeforms, gratings, phase,
+# thin lens — each new kernel branch pinned to the XLA oracle
+# ---------------------------------------------------------------------------
+def _freeform_singlet(surface_type, **kw):
+    from optiland_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, radius=60.0, thickness=5.0, material=1.55,
+                     is_stop=True, surface_type=surface_type, **kw)
+    lens.add_surface(index=2, radius=-60.0, thickness=45.0)
+    lens.add_surface(index=3)
+    lens.set_aperture("EPD", 8.0)
+    lens.add_wavelength(0.55, is_primary=True)
+    lens.build()
+    from dataclasses import replace
+
+    static, params = lens._built
+    lens._built = (replace(static, newton_iters=6), params)
+    return lens
+
+
+FREEFORM_CASES = [
+    ("polynomial", dict(coefficients=(0.0, 1e-5, -2e-6, 3e-6))),
+    ("biconic", dict(radius_y=-90.0, conic_y=0.4, conic=-0.2)),
+    ("toroidal", dict(radius_y=55.0, conic=-0.1,
+                      coeffs_poly_y=[1e-5, -2e-8])),
+    ("chebyshev", dict(coefficients=[[0.0, 1e-5], [2e-5, 0.0]],
+                       norm_x=10.0, norm_y=10.0)),
+    ("zernike", dict(coefficients=(1e-5, -2e-5, 3e-5), norm_radius=8.0)),
+    ("forbes_qbfs", dict(coefficients=(1e-4, -2e-5), norm_radius=8.0)),
+]
+
+
+@pytest.mark.parametrize("stype,kw", FREEFORM_CASES,
+                         ids=[c[0] for c in FREEFORM_CASES])
+def test_fused_freeform_parity(stype, kw):
+    lens = _freeform_singlet(stype, **kw)
+    static, params = lens._built
+    assert supports_fused(static), stype
+    rays0 = _rays(static, params, n=192)
+    _assert_final_parity(static, params, rays0, atol=1e-7)
+
+
+def test_fused_freeform_backward_parity():
+    lens = _freeform_singlet("biconic", radius_y=-90.0, conic_y=0.4)
+    static, params = lens._built
+    rays0 = jax.lax.stop_gradient(_rays(static, params, n=128))
+
+    def m_fused(p):
+        out = trace_final(static, p, rays0, interpret=True)
+        return jnp.sum(out["x"] ** 2 + out["y"] ** 2)
+
+    def m_xla(p):
+        h = trace_rays(static, p, rays0)
+        return jnp.sum(h.x[-1] ** 2 + h.y[-1] ** 2)
+
+    gf = jax.grad(m_fused)(params)
+    gx = jax.grad(m_xla)(params)
+    for name in ("cv", "conic", "coeffs", "thickness"):
+        a = np.asarray(getattr(gf, name))
+        b = np.asarray(getattr(gx, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
+
+
+def test_fused_grating_parity():
+    from optiland_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, radius=math.inf, thickness=30.0, is_stop=True,
+                     surface_type="grating", grating_order=1,
+                     grating_period=2.0, groove_orientation_angle=0.3)
+    lens.add_surface(index=2)
+    lens.set_aperture("EPD", 6.0)
+    lens.add_wavelength(0.55, is_primary=True)
+    static, params = lens.build()
+    assert supports_fused(static)
+    rays0 = _rays(static, params, n=192)
+    _assert_final_parity(static, params, rays0, atol=1e-8)
+
+
+def test_fused_curved_grating_parity():
+    from optiland_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, radius=-100.0, thickness=30.0, is_stop=True,
+                     surface_type="grating", material="mirror",
+                     grating_order=-1, grating_period=5.0,
+                     groove_orientation_angle=0.0)
+    lens.add_surface(index=2)
+    lens.set_aperture("EPD", 6.0)
+    lens.add_wavelength(0.55, is_primary=True)
+    static, params = lens.build()
+    assert supports_fused(static)
+    rays0 = _rays(static, params, n=192)
+    _assert_final_parity(static, params, rays0, atol=1e-8)
+
+
+@pytest.mark.parametrize("profile", [
+    ("radial", [-5e2, 1e-1]),
+    ("linear_grating", 0.0, 3e3),
+    ("constant", 2.5),
+], ids=["radial", "linear_grating", "constant"])
+def test_fused_phase_parity(profile):
+    from optiland_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, radius=math.inf, thickness=40.0, is_stop=True,
+                     surface_type="phase", phase_profile=profile)
+    lens.add_surface(index=2)
+    lens.set_aperture("EPD", 6.0)
+    lens.add_wavelength(0.55, is_primary=True)
+    static, params = lens.build()
+    assert supports_fused(static)
+    rays0 = _rays(static, params, n=192)
+    _assert_final_parity(static, params, rays0, atol=1e-8)
+
+
+def test_fused_thin_lens_parity():
+    from optiland_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, surface_type="paraxial", f=100.0,
+                     thickness=100.0, is_stop=True)
+    lens.add_surface(index=2)
+    lens.set_aperture("EPD", 10.0)
+    lens.add_wavelength(0.55, is_primary=True)
+    static, params = lens.build()
+    assert supports_fused(static)
+    rays0 = _rays(static, params, n=192)
+    _assert_final_parity(static, params, rays0, atol=1e-8)

@@ -1,0 +1,78 @@
+"""FFT MTF value parity vs the mounted reference (VERDICT r2 item 6):
+per-field working F-number, image-plane-corrected tangential frequency
+axes, and the MTF curves themselves (reference `mtf/fft.py`,
+`utils.py:45-107`)."""
+
+import numpy as np
+import pytest
+
+import optiland_tpu.models as models
+from optiland_tpu.mtf import ScalarFFTMTF, get_working_FNO
+
+
+@pytest.mark.parametrize("name,ref_name", [
+    ("CookeTriplet", "CookeTriplet"),
+    ("WideAngle100FOV", "WideAngle100FOV"),
+])
+def test_working_fno_parity(reference, name, ref_name):
+    import importlib
+
+    from optiland.utils import get_working_FNO as ref_fno
+
+    ref = getattr(importlib.import_module("optiland.samples.objectives"),
+                  ref_name)()
+    got = getattr(models, name)()
+    w = ref.primary_wavelength
+    for field in [(0.0, 0.0), (0.0, 0.7), (0.0, 1.0)]:
+        a = get_working_FNO(got, field, w)
+        b = float(np.asarray(ref_fno(ref, field, w)))
+        np.testing.assert_allclose(a, b, rtol=1e-6,
+                                   err_msg=f"{name} {field}")
+
+
+@pytest.mark.parametrize("name", ["CookeTriplet", "WideAngle100FOV"])
+def test_fft_mtf_value_parity(reference, name):
+    """MTF curves and frequency axes match the reference's ScalarFFTMTF on
+    the Cooke triplet and a fast wide-angle lens (off-axis fields exercise
+    the working-FNO axis scaling)."""
+    import importlib
+
+    from optiland.mtf.fft import ScalarFFTMTF as RefMTF
+
+    ref_lens = getattr(importlib.import_module("optiland.samples.objectives"),
+                       name)()
+    got_lens = getattr(models, name)()
+
+    ref_mtf = RefMTF(ref_lens, fields=[(0.0, 0.0), (0.0, 1.0)],
+                     num_rays=32, grid_size=64)
+    got_mtf = ScalarFFTMTF(got_lens, fields=[(0.0, 0.0), (0.0, 1.0)],
+                           num_rays=32, grid_size=64)
+
+    for k in range(2):
+        np.testing.assert_allclose(
+            np.asarray(got_mtf.freq_tang[k]),
+            np.asarray(ref_mtf.freq_tang[k]), rtol=1e-5,
+            err_msg=f"{name} tang axis field {k}")
+        np.testing.assert_allclose(
+            np.asarray(got_mtf.freq_sag[k]),
+            np.asarray(ref_mtf.freq_sag[k]), rtol=1e-5,
+            err_msg=f"{name} sag axis field {k}")
+        for j, tag in ((0, "tang"), (1, "sag")):
+            np.testing.assert_allclose(
+                np.asarray(got_mtf.mtf[k][j]),
+                np.asarray(ref_mtf.mtf[k][j]), atol=2e-5,
+                err_msg=f"{name} {tag} field {k}")
+
+
+def test_fft_mtf_factory_vectorial():
+    """FFTMTF dispatches to the vectorial implementation when the optic
+    carries a polarization state (reference `mtf/fft.py:238-299`)."""
+    from optiland_tpu.mtf import FFTMTF, VectorialFFTMTF
+    from optiland_tpu.polarization import PolarizationState
+
+    lens = models.CookeTriplet()
+    lens.set_polarization(PolarizationState.unpolarized())
+    m = FFTMTF(lens, fields=[(0.0, 0.0)], num_rays=32, grid_size=64)
+    assert isinstance(m, VectorialFFTMTF)
+    t, s = m.mtf[0]
+    assert np.asarray(t)[0] > 0.99
