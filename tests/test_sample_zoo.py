@@ -65,6 +65,10 @@ def test_zoo_trace_parity(reference, ours, ref_mod, theirs):
     got_i = np.asarray(h.intensity[-1])
     live = (ref_i > 0) & (got_i > 0)
     np.testing.assert_array_equal(ref_i > 0, got_i > 0, err_msg=ours)
+    # regression: full-field trace must keep >=95% of rays live on every
+    # zoo lens (VERDICT r2 item 2 done-criterion; the wide-angle lenses
+    # once lost all 127 to aimer divergence)
+    assert (got_i > 0).mean() >= 0.95, f"{ours}: live fraction too low"
     # iterative/robust-aimed samples agree to the aim tolerance (the
     # reference's per-ray Newton stops at 1e-6); the rest to float precision
     aimed = got.ray_aiming != "paraxial"
