@@ -297,6 +297,7 @@ class _OptaxOptimizer:
         x = jnp.asarray(self.problem.x0())
         opt_state = tx.init(x)
         start = 0
+        restored_losses = []
         if checkpoint_dir and resume:
             from optiland_tpu.utils.checkpoint import (
                 checkpoint_step,
@@ -315,8 +316,10 @@ class _OptaxOptimizer:
                     [jnp.asarray(leaf)
                      for leaf in state["opt_state_leaves"]])
                 start = checkpoint_step(latest)
+                restored_losses = [float(v) for v in
+                                   np.asarray(state.get("losses", []))]
 
-        losses = []
+        losses = list(restored_losses)
         for i in range(start, n_steps):
             t0 = time.perf_counter()
             x, opt_state, loss, gnorm = step(x, opt_state)
@@ -336,11 +339,16 @@ class _OptaxOptimizer:
 
                 save_checkpoint(checkpoint_dir, i + 1,
                                 {"step": i + 1, "x": x,
+                                 "losses": np.asarray(losses),
                                  "opt_state_leaves":
                                      jax.tree_util.tree_leaves(opt_state)})
             if disp and (i % max(1, n_steps // 10) == 0):
                 print(f"step {i:5d}  loss {loss_f:.6e}")
         self.problem.apply(x)
+        # a resume at step >= n_steps runs zero new steps; evaluate once so
+        # fun/success are well-defined (ADVICE r3)
+        if not losses:
+            losses = [float(c["value_and_grad"](x, params0)[0])]
         return OptimizationResult(x=np.asarray(x), fun=losses[-1],
                                   loss_history=losses, nit=n_steps,
                                   success=bool(np.isfinite(losses[-1])))

@@ -205,9 +205,11 @@ class ScalarHuygensPSF:
         inside = (X**2 + Y**2 <= 1.0).ravel()
         Px, Py = X.ravel(), Y.ravel()
 
+        aiming = getattr(optic, "ray_aiming", "paraxial")
         data = jax.jit(wavefront_data, static_argnums=(0,),
                        static_argnames=("strategy", "aiming"))(
-            static, params, field[0], field[1], Px, Py, wl, strategy=strategy)
+            static, params, field[0], field[1], Px, Py, wl, strategy=strategy,
+            aiming=aiming)
         amp = jnp.sqrt(data.intensity) * inside
         opd_mm = data.opd * self.wavelength * 1e-3
 
@@ -248,7 +250,8 @@ class ScalarHuygensPSF:
         else:
             ideal_data = jax.jit(wavefront_data, static_argnums=(0,),
                                  static_argnames=("strategy", "aiming"))(
-                static, params, 0.0, 0.0, Px, Py, wl, strategy=strategy)
+                static, params, 0.0, 0.0, Px, Py, wl, strategy=strategy,
+                aiming=aiming)
         ideal_amp = jnp.ones_like(ideal_data.intensity) * inside
         peak = huygens_sum_xla((zero, zero, izc),
                                (ideal_data.pupil_x, ideal_data.pupil_y,

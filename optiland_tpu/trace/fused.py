@@ -84,9 +84,13 @@ _TR_BWD = 64   # the in-kernel VJP roughly doubles live VMEM
 _SUB = 32  # register-blocking row chunk (one f32 vreg of sublanes)
 
 # Newton refinement cap for the fused kernel: the conic closed form seeds
-# within ~1e-3 of the asphere root, and Newton is quadratic, so 4 iterations
-# land far below f32 eps (the kernel's only hardware dtype). The XLA path
-# keeps `static.newton_iters` for f64 reference parity.
+# within ~1e-3 of the asphere root, and Newton is quadratic, so 2 iterations
+# plus the implicit-function-theorem correction step land far below f32 eps
+# (the kernel's only hardware dtype; measured in tests/test_fused_kernel.py
+# kernel-vs-XLA parity at every geometry branch). NOTE: this deliberately
+# overrides `static.newton_iters` inside the kernel — the f32 tile cannot
+# benefit from more steps once below f32 eps. The XLA oracle path keeps
+# `static.newton_iters` (default 16) for f64 reference parity.
 _NEWTON_FUSED_MAX = 2
 # freeform seeds (conic guess on a biconic/toroidal/Zernike carrier) start
 # further from the root than asphere seeds; give them a few more steps
@@ -128,9 +132,13 @@ def supports_fused_raygen(static: SystemStatic) -> bool:
     part of `trace/raygen.py` reduces to elementwise math given a handful of
     differentiable scalars (EPL/EPD/field scale/start plane) for these field
     types. Telecentric aiming, vignetting factors and the image-height field
-    solves keep the XLA raygen."""
+    solves keep the XLA raygen. object_height with an infinite object is
+    excluded so the XLA path's clear ValueError fires instead of the kernel
+    silently tracing from -inf (ADVICE r3)."""
     return (
         static.field_type in ("angle", "object_height")
+        and not (static.field_type == "object_height"
+                 and static.object_infinite)
         and not static.telecentric
         and not static.has_vignetting
         and static.apodization is None
@@ -977,6 +985,8 @@ def _raygen_bwd(static, interpret, uniform_w, out_keys, res, g):
         n_out = len(out_keys)
         seed_r = refs[6 + n_diff + n_nondiff:6 + n_diff + n_nondiff + n_out]
         outs = refs[6 + n_diff + n_nondiff + n_out:]
+        acc_outs = outs[:1 + n_diff]      # rg + diff params: accumulated
+        data_outs = outs[1 + n_diff:]     # Hx/Hy/Px/Py/w: per-ray tiles
         nondiff_vals = tuple(r[:] for r in nondiff_r)
         rg_v = rg_r[:]
         diff_vals = tuple(r[:] for r in diff_r)
@@ -990,14 +1000,22 @@ def _raygen_bwd(static, interpret, uniform_w, out_keys, res, g):
             data_vals = tuple(r[sl, :] for r in data_r[:4])
             w_tile = data_r[4][sl, :]
 
-            def f(rg_v, *dp, data_vals=data_vals, w_tile=w_tile):
-                rays8 = _tile_raygen(static, rg_v, *data_vals)
+            # Hx/Hy/Px/Py/w are differentiated too: the chain adjoint is
+            # already propagated to the raygen boundary for d_rg, so their
+            # cotangents only add the elementwise raygen adjoint
+            # (ADVICE r3: data cotangents must not be silently zero).
+            def f(rg_v, Hx_t, Hy_t, Px_t, Py_t, w_tile, *dp):
+                rays8 = _tile_raygen(static, rg_v, Hx_t, Hy_t, Px_t, Py_t)
                 res = _tile_trace(static, uniform_w, dp, nondiff_vals,
                                   *rays8, w_tile)
                 return tuple(res[ki] for ki in out_keys)
 
-            _, vjp = jax.vjp(f, rg_v, *diff_vals)
+            _, vjp = jax.vjp(f, rg_v, *data_vals, w_tile, *diff_vals)
             grads = vjp(tuple(s[sl, :] for s in seed_r))
+            d_data_tile = grads[1:6]
+            for o, v in zip(data_outs, d_data_tile):
+                o[sl, :] = v
+            grads = grads[:1] + grads[6:]
             if acc is None:
                 acc = list(grads)
             else:
@@ -1005,7 +1023,7 @@ def _raygen_bwd(static, interpret, uniform_w, out_keys, res, g):
 
         gidx = pl.program_id(0)
         # parameter cotangents accumulate across the sequential ray-tile grid
-        for o, v in zip(outs, acc):
+        for o, v in zip(acc_outs, acc):
             @pl.when(gidx == 0)
             def _(o=o, v=v):
                 o[:] = v
@@ -1034,9 +1052,12 @@ def _raygen_bwd(static, interpret, uniform_w, out_keys, res, g):
                 + [ray_spec] * len(out_keys))
     out_shape = ([jax.ShapeDtypeStruct(np.shape(rg), Hx.dtype)]
                  + [jax.ShapeDtypeStruct(np.shape(p), Hx.dtype)
-                    for p in diffp])
+                    for p in diffp]
+                 + [jax.ShapeDtypeStruct((rows_pad, _LANE), Hx.dtype)
+                    for _ in range(5)])
     out_specs = ([_full_spec(np.shape(rg))]
-                 + [_full_spec(np.shape(p)) for p in diffp])
+                 + [_full_spec(np.shape(p)) for p in diffp]
+                 + [ray_spec] * 5)
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1052,10 +1073,9 @@ def _raygen_bwd(static, interpret, uniform_w, out_keys, res, g):
     )(*ins)
 
     d_rg = outs[0]
-    d_diff = tuple(outs[1:])
+    d_diff = tuple(outs[1:1 + len(diffp)])
     d_nondiff = tuple(jnp.zeros_like(jnp.asarray(p)) for p in nondiffp)
-    # field/pupil sample coordinates are data, not parameters
-    d_data = tuple(jnp.zeros_like(jnp.asarray(d)) for d in data)
+    d_data = tuple(o.reshape(-1)[:n] for o in outs[1 + len(diffp):])
     return (d_diff, d_nondiff, d_rg), d_data
 
 

@@ -212,15 +212,17 @@ def test_fused_history_grad_via_xla_twin():
 
 
 def test_fused_fallback_for_unsupported():
-    """Freeform/grating systems fall back to the XLA path transparently."""
+    """Systems outside the kernel class (grid-sag here — chebyshev et al.
+    joined `_SUPPORTED_GEOMS` in round 3) fall back to XLA transparently."""
     from optiland_tpu.system.optic import Optic
 
+    g = np.linspace(-6.0, 6.0, 16)
+    sag = 1e-4 * (g[:, None] ** 2 + g[None, :] ** 2)
     lens = Optic()
     lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
     lens.add_surface(index=1, radius=50.0, thickness=5.0, material=1.5,
-                     is_stop=True, surface_type="chebyshev",
-                     geom_params={"coefficients": [[0.0, 1e-5]],
-                                  "norm_x": 10.0, "norm_y": 10.0})
+                     is_stop=True, surface_type="grid_sag",
+                     x_coordinates=g, y_coordinates=g, sag_values=sag)
     lens.add_surface(index=2)
     lens.set_aperture("EPD", 5.0)
     lens.add_wavelength(0.55)
@@ -326,6 +328,51 @@ def test_fused_raygen_trace_parity():
         scale = max(np.abs(b).max(), 1e-9)
         np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
                                    err_msg=name)
+
+
+def test_fused_raygen_data_cotangents():
+    """Gradients of the fused raygen+trace path w.r.t. the field/pupil/
+    wavelength *inputs* (not just system parameters) must match the XLA
+    pipeline — ADVICE r3: these were silently zero."""
+    from optiland_tpu.trace.fused import (
+        supports_fused_raygen,
+        trace_system_final_fused,
+    )
+
+    lens = _singlet(newton_iters=4, asphere=True)
+    lens.set_field_type("angle")
+    lens.add_field(y=0.0)
+    lens.add_field(y=5.0)  # nonzero max field so dH is nontrivial
+    static, params = lens.build()
+    assert supports_fused(static) and supports_fused_raygen(static)
+
+    rng = np.random.default_rng(7)
+    n = 160
+    Px = jnp.asarray(rng.uniform(-0.9, 0.9, n))
+    Py = jnp.asarray(rng.uniform(-0.9, 0.9, n))
+    Hx = jnp.asarray(rng.uniform(-0.8, 0.8, n))
+    Hy = jnp.asarray(rng.uniform(-0.8, 0.8, n))
+    w = jnp.full((n,), 0.55)  # per-ray wavelength: non-uniform path
+
+    def m_fused(Hx, Hy, Px, Py, w):
+        out = trace_system_final_fused(static, params, Hx, Hy, Px, Py, w,
+                                       interpret=True)
+        return jnp.sum(out["x"] ** 2 + out["y"] ** 2 + out["opd"])
+
+    def m_xla(Hx, Hy, Px, Py, w):
+        r0 = generate_rays(static, params, Hx, Hy, Px, Py, w)
+        h = trace_rays(static, params, r0)
+        return jnp.sum(h.x[-1] ** 2 + h.y[-1] ** 2 + h.opd[-1])
+
+    gf = jax.grad(m_fused, argnums=(0, 1, 2, 3, 4))(Hx, Hy, Px, Py, w)
+    gx = jax.grad(m_xla, argnums=(0, 1, 2, 3, 4))(Hx, Hy, Px, Py, w)
+    for name, a, b in zip(("Hx", "Hy", "Px", "Py", "w"), gf, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
+        if name != "w":
+            assert np.abs(b).max() > 0, f"oracle grad for {name} is zero?"
 
 
 # ---------------------------------------------------------------------------
