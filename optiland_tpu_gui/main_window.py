@@ -1,10 +1,11 @@
 """PySide6 main window (reference `optiland_gui/main_window.py:1` — menu
-bar, dockable lens editor / analysis / optimization / viewer panels,
-undo/redo actions). All Qt imports are function-local so the services layer
-stays importable without PySide6."""
+bar, dockable lens editor / analysis / optimization / viewer panels, system
+properties, python terminal, themes, undo/redo actions). All Qt imports are
+function-local so the services layer stays importable without PySide6."""
 
 from __future__ import annotations
 
+from optiland_tpu_gui.actions import default_actions
 from optiland_tpu_gui.connector import OptilandConnector
 from optiland_tpu_gui.services import (
     AnalysisRunner,
@@ -13,6 +14,8 @@ from optiland_tpu_gui.services import (
     SurfaceService,
     SystemService,
 )
+from optiland_tpu_gui.settings import GuiConfig, stylesheet
+from optiland_tpu_gui.terminal import PythonTerminalService
 
 
 def require_qt():
@@ -29,13 +32,19 @@ class MainWindow:
     """Thin composition root: builds the services and the Qt widgets.
 
     Separated from QMainWindow so construction logic is testable headless
-    (`build_services` has no Qt dependency)."""
+    (`build_services` and the action/terminal/config layers have no Qt
+    dependency)."""
 
-    def __init__(self, connector: OptilandConnector | None = None):
+    def __init__(self, connector: OptilandConnector | None = None,
+                 config: GuiConfig | None = None):
         self.connector = connector or OptilandConnector()
+        self.config = config or GuiConfig()
         (self.surface_service, self.system_service, self.file_service,
          self.analysis_runner, self.optimization_service) = (
              self.build_services(self.connector))
+        self.terminal = PythonTerminalService(self.connector)
+        self.actions = default_actions(self)
+        self._register_extra_actions()
         self._qt = None
 
     @staticmethod
@@ -48,35 +57,68 @@ class MainWindow:
             OptimizationService(connector),
         )
 
+    def _register_extra_actions(self):
+        from optiland_tpu_gui.settings import THEMES
+
+        for name in THEMES:
+            self.actions.register(
+                f"view.theme.{name}", f"Theme: {name}",
+                lambda n=name: self.set_theme(n), menu="&View")
+
+    # -- config-backed behaviors (headless-testable) ---------------------
+    def set_theme(self, name: str) -> None:
+        self.config.theme = name
+        if self._qt is not None:  # pragma: no cover - needs a display
+            self._qt.setStyleSheet(stylesheet(name))
+
+    def open_file(self, path: str) -> None:
+        self.file_service.open(path)
+        self.config.add_recent_file(path)
+
     # -- Qt side ---------------------------------------------------------
     def show(self):  # pragma: no cover - needs a display
         require_qt()
-        from PySide6 import QtWidgets
+        from PySide6 import QtGui, QtWidgets
 
+        from optiland_tpu_gui.terminal import make_terminal_widget
         from optiland_tpu_gui.widgets import (
             AnalysisPanel,
             LensEditor,
             OptimizationPanel,
+            SagViewerPanel,
+            SystemPropertiesPanel,
             ViewerPanel,
         )
 
         win = QtWidgets.QMainWindow()
         win.setWindowTitle("optiland_tpu")
+        win.setStyleSheet(stylesheet(self.config.theme))
         tabs = QtWidgets.QTabWidget()
         tabs.addTab(LensEditor(self.surface_service), "Lens Editor")
+        tabs.addTab(SystemPropertiesPanel(self.system_service), "System")
         tabs.addTab(AnalysisPanel(self.analysis_runner), "Analysis")
         tabs.addTab(OptimizationPanel(self.optimization_service),
                     "Optimization")
         tabs.addTab(ViewerPanel(self.connector), "Viewer")
+        tabs.addTab(SagViewerPanel(self.connector), "Sag")
+        tabs.addTab(make_terminal_widget(self.terminal), "Console")
         win.setCentralWidget(tabs)
 
-        menu = win.menuBar().addMenu("&File")
-        menu.addAction("New", self.file_service.new_system)
-        menu.addAction("Open...", self._open_dialog)
-        menu.addAction("Save", lambda: self.file_service.save())
-        edit = win.menuBar().addMenu("&Edit")
-        edit.addAction("Undo", self.connector.undo)
-        edit.addAction("Redo", self.connector.redo)
+        menus: dict[str, QtWidgets.QMenu] = {}
+        for menu_name, actions in self.actions.by_menu().items():
+            menu = menus.setdefault(
+                menu_name, win.menuBar().addMenu(menu_name or "&Tools"))
+            for a in actions:
+                qa = QtGui.QAction(a.label, win)
+                if a.shortcut:
+                    qa.setShortcut(a.shortcut)
+                qa.triggered.connect(a.callback)
+                menu.addAction(qa)
+        recent = menus.get("&File", win.menuBar().addMenu("&File")) \
+            .addMenu("Open &Recent")
+        for path in self.config.recent_files:
+            recent.addAction(path, lambda p=path: self.open_file(p))
+
         self._qt = win
         win.show()
         return win
@@ -88,4 +130,4 @@ class MainWindow:
             self._qt, "Open system", "",
             "Optical systems (*.json *.zmx *.seq)")
         if path:
-            self.file_service.open(path)
+            self.open_file(path)

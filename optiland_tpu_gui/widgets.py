@@ -155,3 +155,93 @@ class ViewerPanel(QtWidgets.QWidget):
                 w.deleteLater()
         fig, _ = OpticViewer(self.connector.get_optic()).view()
         self.lay.addWidget(FigureCanvasQTAgg(fig))
+
+
+class SystemPropertiesPanel(QtWidgets.QWidget):
+    """Aperture / field-type / ray-aiming / wavelengths editor + first-order
+    summary (reference `system_properties_panel.py`), bound to
+    `SystemService`."""
+
+    def __init__(self, system_service):
+        super().__init__()
+        self.service = system_service
+        form = QtWidgets.QFormLayout(self)
+
+        self.ap_type = QtWidgets.QComboBox()
+        self.ap_type.addItems(self.service.get_aperture_types())
+        self.ap_value = QtWidgets.QLineEdit()
+        cur_t, cur_v = self.service.get_aperture()
+        if cur_t:
+            self.ap_type.setCurrentText(cur_t)
+        self.ap_value.setText(str(cur_v))
+        apply_ap = QtWidgets.QPushButton("Apply")
+        apply_ap.clicked.connect(self._apply_aperture)
+        row = QtWidgets.QHBoxLayout()
+        row.addWidget(self.ap_type)
+        row.addWidget(self.ap_value)
+        row.addWidget(apply_ap)
+        form.addRow("Aperture", row)
+
+        self.field_type = QtWidgets.QComboBox()
+        for label, key in self.service.get_field_types():
+            self.field_type.addItem(label, key)
+        self.field_type.currentIndexChanged.connect(
+            lambda _=None: self.service.set_field_type(
+                self.field_type.currentData()))
+        form.addRow("Field type", self.field_type)
+
+        self.aiming = QtWidgets.QComboBox()
+        self.aiming.addItems(self.service.get_ray_aiming_modes())
+        self.aiming.currentTextChanged.connect(self.service.set_ray_aiming)
+        form.addRow("Ray aiming", self.aiming)
+
+        self.summary = QtWidgets.QPlainTextEdit()
+        self.summary.setReadOnly(True)
+        form.addRow("First order", self.summary)
+        self.service.connector.system_changed.connect(self.refresh_summary)
+        self.refresh_summary()
+
+    def _apply_aperture(self):
+        try:
+            self.service.set_aperture(self.ap_type.currentText(),
+                                      float(self.ap_value.text()))
+        except ValueError:
+            pass
+
+    def refresh_summary(self):
+        rows = self.service.first_order()
+        self.summary.setPlainText(
+            "\n".join(f"{k:>5s}: {v:.6g}" for k, v in rows.items()))
+
+
+class SagViewerPanel(QtWidgets.QWidget):
+    """Surface-sag cross-section/heatmap panel (reference
+    `visualization/surface_sag_viewer.py` embedded per `viewer_panel.py`)."""
+
+    def __init__(self, connector):
+        super().__init__()
+        self.connector = connector
+        lay = QtWidgets.QVBoxLayout(self)
+        top = QtWidgets.QHBoxLayout()
+        self.surface = QtWidgets.QSpinBox()
+        self.surface.setMinimum(1)
+        show = QtWidgets.QPushButton("Show sag")
+        show.clicked.connect(self.refresh)
+        top.addWidget(QtWidgets.QLabel("Surface"))
+        top.addWidget(self.surface)
+        top.addWidget(show)
+        lay.addLayout(top)
+        self.holder = QtWidgets.QVBoxLayout()
+        lay.addLayout(self.holder)
+
+    def refresh(self):
+        from optiland_tpu.visualization import SurfaceSagViewer
+
+        while self.holder.count():
+            w = self.holder.takeAt(0).widget()
+            if w:
+                w.deleteLater()
+        viewer = SurfaceSagViewer(self.connector.get_optic())
+        fig = viewer.view(self.surface.value())
+        fig = fig[0] if isinstance(fig, tuple) else fig
+        self.holder.addWidget(FigureCanvasQTAgg(fig))

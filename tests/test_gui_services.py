@@ -20,8 +20,10 @@ from optiland_tpu_gui.services.surface_service import (  # noqa: E402
 
 
 @pytest.fixture()
-def window():
-    return MainWindow()
+def window(tmp_path):
+    from optiland_tpu_gui.settings import GuiConfig
+
+    return MainWindow(config=GuiConfig(path=str(tmp_path / "gui.json")))
 
 
 def test_services_construct_headless(window):
@@ -115,3 +117,69 @@ def test_optimization_service(window):
     assert opt.merit_history[-1] < opt.merit_history[0]
     # undoable: one undo restores the pre-optimization radii
     assert window.connector.undo()
+
+
+def test_python_terminal_service(window):
+    """Terminal executes against the live optic and sees connector swaps
+    (reference `optiland_gui/python_terminal.py` binds the active system)."""
+    term = window.terminal
+    out, more = term.execute("print(optic.name)")
+    assert "Untitled" in out and not more
+    out, _ = term.execute("1/0")
+    assert "ZeroDivisionError" in out
+    # multi-line block: push returns needs_more until the block closes
+    _, more = term.execute("def f():")
+    assert more
+    term.execute("    return len(optic.surfaces)")
+    out, more = term.execute("")
+    assert not more
+    out, _ = term.execute("print(f())")
+    assert "4" in out
+    # the namespace tracks undo/open: swap the system, optic rebinds
+    window.connector.mutate(lambda o: setattr(o, "name", "Renamed"))
+    out, _ = term.execute("print(optic.name)")
+    assert "Renamed" in out
+    term.reset()
+    assert term.history == []
+
+
+def test_gui_config_roundtrip(tmp_path):
+    from optiland_tpu_gui.settings import THEMES, GuiConfig, stylesheet
+
+    cfg = GuiConfig(path=str(tmp_path / "gui.json"))
+    assert cfg.theme == "dark"
+    cfg.theme = "light"
+    cfg.add_recent_file("/a.json")
+    cfg.add_recent_file("/b.zmx")
+    cfg.add_recent_file("/a.json")  # moves to front, no duplicate
+    cfg2 = GuiConfig(path=str(tmp_path / "gui.json"))
+    assert cfg2.theme == "light"
+    assert cfg2.recent_files == ["/a.json", "/b.zmx"]
+    with pytest.raises(ValueError):
+        cfg2.theme = "neon"
+    for name in THEMES:
+        assert "QMainWindow" in stylesheet(name)
+
+
+def test_action_manager(window):
+    am = window.actions
+    assert {"file.new", "file.save", "edit.undo", "edit.redo"} <= set(
+        am.names())
+    # theme actions registered per THEMES and change persisted config
+    am.trigger("view.theme.light")
+    assert window.config.theme == "light"
+    # disabled actions don't fire
+    am.set_enabled("edit.undo", False)
+    assert am.trigger("edit.undo") is None
+    am.set_enabled("edit.undo", True)
+    by_menu = am.by_menu()
+    assert "&File" in by_menu and "&View" in by_menu
+    with pytest.raises(ValueError):
+        am.register("file.new", "dup", lambda: None)
+
+
+def test_open_file_tracks_recent(window, tmp_path):
+    p = str(tmp_path / "sys.json")
+    window.file_service.save(p)
+    window.open_file(p)
+    assert window.config.recent_files[0] == p
