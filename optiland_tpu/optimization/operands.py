@@ -181,8 +181,9 @@ def real_N(static, params, surface_number, Hx, Hy, Px, Py, wavelength):
     return hist.N[surface_number, 0]
 
 
-def rms_spot_size(static, params, surface_number, Hx, Hy, num_rays,
-                  wavelength, distribution="hexapolar"):
+def rms_spot_size(static, params, surface_number=-1, Hx=0.0, Hy=0.0,
+                  num_rays=100, wavelength=0.5876,
+                  distribution="hexapolar"):
     """RMS spot about the unweighted spot mean at `surface_number`
     (reference `operand/ray.py:300-340`)."""
     out = dist.generate(distribution, num_rays)
