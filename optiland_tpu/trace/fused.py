@@ -82,6 +82,7 @@ _LANE = 128
 _TR_FWD = 128
 _TR_BWD = 64   # the in-kernel VJP roughly doubles live VMEM
 _SUB = 32  # register-blocking row chunk (one f32 vreg of sublanes)
+_SUB_BWD = 32  # backward's chunk (the adjoint live set differs from fwd)
 
 # Newton refinement cap for the fused kernel: the conic closed form seeds
 # within ~1e-3 of the asphere root, and Newton is quadratic, so 2 iterations
@@ -397,6 +398,25 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
                 fp = gx * L + gy * M - N
                 fp = jnp.where(jnp.abs(fp) > _EPS, fp, eps)
                 t = t - f / fp
+        elif code != GEOM_PLANE:
+            # pure conic (or coeff-less asphere): the closed-form root is
+            # exact, but letting AD transpose the branchy quadratic formula
+            # (both roots, sqrt, selects, safe-divides) costs ~2x the ops of
+            # the IFT adjoint. Detach the root and close the graph with one
+            # implicit-function-theorem step — F(t*)=0 so the value is
+            # unchanged and dt/dθ = -F_θ/F_t, the same trick as the Newton
+            # paths above (measured ~5% off the fwd+bwd step).
+            t = jax.lax.stop_gradient(t)
+            xt = x + t * L
+            yt = y + t * M
+            zt = z + t * N
+            r2c = xt * xt + yt * yt
+            s_val, fx, fy, _ = _sag_grad_terms(code, 0, coeffs[k], cvk, kk,
+                                               r2c, True)
+            f = s_val - zt
+            fp = (xt * fx) * L + (yt * fy) * M - N
+            fp = jnp.where(jnp.abs(fp) > _EPS, fp, eps)
+            t = t - f / fp
 
         x = x + t * L
         y = y + t * M
@@ -995,8 +1015,8 @@ def _raygen_bwd(static, interpret, uniform_w, out_keys, res, g):
         # (SUB, LANE) row chunk per jax.vjp keeps the re-trace + adjoint
         # live set at a few vregs per value
         acc = None
-        for j in range(max(_TR_BWD // _SUB, 1)):
-            sl = slice(j * _SUB, (j + 1) * _SUB)
+        for j in range(max(_TR_BWD // _SUB_BWD, 1)):
+            sl = slice(j * _SUB_BWD, (j + 1) * _SUB_BWD)
             data_vals = tuple(r[sl, :] for r in data_r[:4])
             w_tile = data_r[4][sl, :]
 
