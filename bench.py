@@ -119,7 +119,9 @@ def main():
             return acc
         return jax.jit(f)
 
-    K1, K2, REPS = 2, 12, 4
+    # REPS: the chip is multi-tenant; per-call interference inflates any
+    # single timing by 10-30%. min-of-8 estimates true device time.
+    K1, K2, REPS = 2, 12, 8
 
     def timed(f):
         out = np.asarray(f(params, Hx, Hy, Px, Py))  # compile + warmup

@@ -263,7 +263,7 @@ def _sag_grad_terms(code, n_coeffs, coeffs_k, cvk, kk, r2, want_sag):
 
 
 def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
-                x, y, z, L, M, N, i, opd, w, record=False):
+                x, y, z, L, M, N, i, opd, w, record=False, for_grad=True):
     """Pure per-tile trace for the supported subset — semantics identical to
     `trace/tracer.py` (validated by parity tests).
 
@@ -398,14 +398,17 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
                 fp = gx * L + gy * M - N
                 fp = jnp.where(jnp.abs(fp) > _EPS, fp, eps)
                 t = t - f / fp
-        elif code != GEOM_PLANE:
+        elif code != GEOM_PLANE and for_grad:
             # pure conic (or coeff-less asphere): the closed-form root is
             # exact, but letting AD transpose the branchy quadratic formula
             # (both roots, sqrt, selects, safe-divides) costs ~2x the ops of
             # the IFT adjoint. Detach the root and close the graph with one
             # implicit-function-theorem step — F(t*)=0 so the value is
-            # unchanged and dt/dθ = -F_θ/F_t, the same trick as the Newton
-            # paths above (measured ~5% off the fwd+bwd step).
+            # unchanged (shift ~F/F' is below dtype eps) and
+            # dt/dθ = -F_θ/F_t, the same trick as the Newton paths above
+            # (measured ~8% off the fwd+bwd step). The pure value pass
+            # (`for_grad=False`: the un-differentiated fwd kernels) skips
+            # this step — it only changes the *gradient* graph.
             t = jax.lax.stop_gradient(t)
             xt = x + t * L
             yt = y + t * M
@@ -778,7 +781,7 @@ def _fused_forward(static, interpret, uniform_w, params, rays_flat):
         res = _tile_trace(static, uniform_w,
                           tuple(r[:] for r in diff_r),
                           tuple(r[:] for r in nondiff_r),
-                          *(r[:] for r in rays_r))
+                          *(r[:] for r in rays_r), for_grad=False)
         for o, v in zip(outs, res):
             o[:] = v
 
@@ -952,7 +955,7 @@ def _raygen_forward(static, interpret, uniform_w, out_keys, params, data):
             rays8 = _tile_raygen(static, rg_v,
                                  *(r[sl, :] for r in data_r[:4]))
             res = _tile_trace(static, uniform_w, diff_vals, nondiff_vals,
-                              *rays8, data_r[4][sl, :])
+                              *rays8, data_r[4][sl, :], for_grad=False)
             for o, ki in zip(outs, out_keys):
                 o[sl, :] = res[ki]
 
@@ -1189,7 +1192,8 @@ def _history_forward(static, interpret, params, rays_flat):
         records = _tile_trace(static, False,
                               tuple(r[:] for r in diff_r),
                               tuple(r[:] for r in nondiff_r),
-                              *(r[:] for r in rays_r), record=True)
+                              *(r[:] for r in rays_r), record=True,
+                              for_grad=False)
         for k, rec in enumerate(records):
             for o, v in zip(outs, rec):
                 o[k, :, :] = v

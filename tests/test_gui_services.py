@@ -183,3 +183,41 @@ def test_open_file_tracks_recent(window, tmp_path):
     window.file_service.save(p)
     window.open_file(p)
     assert window.config.recent_files[0] == p
+
+
+def test_panel_manager_layout_roundtrip(tmp_path):
+    from optiland_tpu_gui.panels import DEFAULT_PANELS, PanelManager
+    from optiland_tpu_gui.settings import GuiConfig
+
+    cfg = GuiConfig(path=str(tmp_path / "gui.json"))
+    pm = PanelManager(config=cfg)
+    assert pm.names() == list(DEFAULT_PANELS)
+    pm.hide("console")
+    assert "console" not in pm.visible_panels()
+    pm.move("viewer", 0)
+    assert pm.names()[0] == "viewer"
+    assert pm.toggle("console") is True
+    # layout persists through the config file
+    pm2 = PanelManager(config=GuiConfig(path=str(tmp_path / "gui.json")))
+    assert pm2.names()[0] == "viewer"
+    assert pm2.is_visible("console")
+
+
+def test_plot_utils_theme():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from optiland_tpu_gui.plot_utils import apply_theme, themed_figure
+    from optiland_tpu_gui.settings import THEMES
+
+    fig = themed_figure("dark")
+    ax = fig.add_subplot(111)
+    ax.plot([0, 1], [0, 1], label="x")
+    ax.legend()
+    apply_theme(fig, "light")
+    assert fig.patch.get_facecolor()[:3] != (0.0, 0.0, 0.0)
+    for name in THEMES:
+        apply_theme(fig, name)
+    plt.close(fig)
