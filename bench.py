@@ -61,7 +61,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from optiland_tpu.trace.tracer import trace_system_final
+    from optiland_tpu.optimization.merits import centroid_rms_spot
 
     lens = build_bench_system()
     static, params = lens.build()
@@ -83,18 +83,15 @@ def main():
     w = 0.5876
 
     def merit(params, Hx, Hy, Px, Py):
-        # production hot path: fused Pallas trace kernel on TPU (final-state
-        # only — no (S, N) history), XLA fallback elsewhere.
+        # production hot path: the centroid-RMS spot merit via the fused
+        # moments kernel — raygen + trace + weighted-moment reduction in ONE
+        # Pallas launch; backward seeds are 4 scalars (no per-ray arrays
+        # ever touch HBM). Same math as the r1-r3 formulation:
+        #   sum(((x-cx)^2 + (y-cy)^2) i) / (sum(i) + 1e-6).
         # NOTE: ray coordinates are explicit arguments, not jit-captured
         # constants — captured device constants are re-uploaded per call on
         # the tunneled platform (measured ~1.5 ms/call flat).
-        out = trace_system_final(static, params, Hx, Hy, Px, Py, w,
-                                 outputs=("x", "y", "intensity"))
-        x, y, i = out["x"], out["y"], out["intensity"]
-        wsum = jnp.sum(i) + 1e-6
-        cx = jnp.sum(x * i) / wsum
-        cy = jnp.sum(y * i) / wsum
-        return jnp.sum(((x - cx) ** 2 + (y - cy) ** 2) * i) / wsum
+        return centroid_rms_spot(static, params, Hx, Hy, Px, Py, w)
 
     # --- timing methodology -------------------------------------------
     # The tunneled runtime (a) coalesces repeated identical dispatches and

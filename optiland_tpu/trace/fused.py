@@ -262,6 +262,91 @@ def _sag_grad_terms(code, n_coeffs, coeffs_k, cvk, kk, r2, want_sag):
     return s_val, gmul, gmul, None
 
 
+def _refract_fwd_impl(L, M, N, nx, ny, nz, u):
+    """Vector Snell refraction with TIR passthrough. `n` must be oriented
+    along the incident ray (n.l >= 0). Returns (L', M', N', okf)."""
+    c = L * nx + M * ny + N * nz
+    d2 = 1.0 - u * u * (1.0 - c * c)
+    okf = (d2 >= 0.0).astype(L.dtype)
+    rt = jnp.sqrt(jnp.maximum(d2, 0.0))
+    q = rt - u * c
+    Lo = okf * (u * L + q * nx) + (1.0 - okf) * L
+    Mo = okf * (u * M + q * ny) + (1.0 - okf) * M
+    No = okf * (u * N + q * nz) + (1.0 - okf) * N
+    return (Lo, Mo, No, okf), (L, M, N, nx, ny, nz, u, c, rt, q, okf)
+
+
+@jax.custom_vjp
+def _refract_cv(L, M, N, nx, ny, nz, u):
+    """Refract with a hand-derived adjoint: JAX's generated transpose of
+    the branchy Snell chain costs ~2x the closed-form cotangent (the
+    in-kernel VJP is the headline bottleneck; see PERF.md)."""
+    out, _ = _refract_fwd_impl(L, M, N, nx, ny, nz, u)
+    return out
+
+
+def _refract_cv_fwd(L, M, N, nx, ny, nz, u):
+    return _refract_fwd_impl(L, M, N, nx, ny, nz, u)
+
+
+def _refract_cv_bwd(res, g):
+    L, M, N, nx, ny, nz, u, c, rt, q, okf = res
+    gL, gM, gN, _gok = g  # okf is a mask: no cotangent
+    gpL = okf * gL
+    gpM = okf * gM
+    gpN = okf * gN
+    thru = 1.0 - okf
+    du = L * gpL + M * gpM + N * gpN          # from u*l term
+    dq = nx * gpL + ny * gpM + nz * gpN
+    # q = rt - u c ; rt = sqrt(max(d2,0)) ; d2 = 1 - u^2 (1 - c^2)
+    dd2 = okf * (0.5 * dq) / jnp.maximum(rt, _EPS)
+    du = du - c * dq - 2.0 * u * (1.0 - c * c) * dd2
+    dc = -u * dq + 2.0 * (u * u) * c * dd2
+    # c = l . n
+    dL = u * gpL + thru * gL + dc * nx
+    dM = u * gpM + thru * gM + dc * ny
+    dN = u * gpN + thru * gN + dc * nz
+    dnx = q * gpL + dc * L
+    dny = q * gpM + dc * M
+    dnz = q * gpN + dc * N
+    if jnp.ndim(u) == 0:
+        du = jnp.sum(du)
+    return dL, dM, dN, dnx, dny, dnz, du
+
+
+_refract_cv.defvjp(_refract_cv_fwd, _refract_cv_bwd)
+
+
+@jax.custom_vjp
+def _reflect_cv(L, M, N, nx, ny, nz):
+    """Mirror reflection l' = l - 2 (l.n) n with the closed-form adjoint
+    (the Householder map is symmetric: dl = g - 2 (g.n) n)."""
+    c = L * nx + M * ny + N * nz
+    return L - 2.0 * c * nx, M - 2.0 * c * ny, N - 2.0 * c * nz
+
+
+def _reflect_cv_fwd(L, M, N, nx, ny, nz):
+    c = L * nx + M * ny + N * nz
+    out = (L - 2.0 * c * nx, M - 2.0 * c * ny, N - 2.0 * c * nz)
+    return out, (L, M, N, nx, ny, nz, c)
+
+
+def _reflect_cv_bwd(res, g):
+    L, M, N, nx, ny, nz, c = res
+    gL, gM, gN = g
+    gn = gL * nx + gM * ny + gN * nz
+    dL = gL - 2.0 * gn * nx
+    dM = gM - 2.0 * gn * ny
+    dN = gN - 2.0 * gn * nz
+    dnx = -2.0 * (gn * L + c * gL)
+    dny = -2.0 * (gn * M + c * gM)
+    dnz = -2.0 * (gn * N + c * gN)
+    return dL, dM, dN, dnx, dny, dnz
+
+
+_reflect_cv.defvjp(_reflect_cv_fwd, _reflect_cv_bwd)
+
+
 def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
                 x, y, z, L, M, N, i, opd, w, record=False, for_grad=True):
     """Pure per-tile trace for the supported subset — semantics identical to
@@ -482,25 +567,16 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
                 dot = L * nx + M * ny + N * nz
                 sgn = jnp.sign(dot)
                 nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-                cosi = jnp.abs(dot)
 
                 if interaction == INT_REFLECT:
-                    L = L - 2.0 * cosi * nx
-                    M = M - 2.0 * cosi * ny
-                    N = N - 2.0 * cosi * nz
+                    # note: |dot| folds into the oriented normal —
+                    # l - 2 cosi n == l - 2 (l.n) n with n oriented
+                    L, M, N = _reflect_cv(L, M, N, nx, ny, nz)
                     n_post = n_pre
                 else:
                     n_post = n_of(k)
                     u = n_pre / n_post
-                    d2 = 1.0 - u * u * (1.0 - cosi * cosi)
-                    okf = (d2 >= 0.0).astype(d2.dtype)
-                    rt = jnp.sqrt(jnp.maximum(d2, 0.0))
-                    Lr = u * L + nx * (rt - u * cosi)
-                    Mr = u * M + ny * (rt - u * cosi)
-                    Nr = u * N + nz * (rt - u * cosi)
-                    L = okf * Lr + (1.0 - okf) * L
-                    M = okf * Mr + (1.0 - okf) * M
-                    N = okf * Nr + (1.0 - okf) * N
+                    L, M, N, okf = _refract_cv(L, M, N, nx, ny, nz, u)
                     i = i * okf
                 n_pre = n_post
 
@@ -1296,3 +1372,268 @@ def trace_history_fused(static: SystemStatic, params: SystemParams, rays0,
         return TraceHistory(x=x, y=y, z=z, L=L, M=M, N=N, intensity=i,
                             opd=opd, p=None)
     return trace_rays(static, params, rays0)
+
+
+# ---------------------------------------------------------------------------
+# fused spot moments: raygen + trace + in-kernel weighted-moment reduction
+# ---------------------------------------------------------------------------
+# The optimization hot path's merit functions (centroid-RMS spot et al.)
+# consume only four weighted moments of the final surface state:
+#   m0 = sum(i), m1 = sum(x i), m2 = sum(y i), m3 = sum((x^2+y^2) i).
+# Accumulating them inside the trace kernel removes every per-ray HBM
+# output from the forward (24 MB -> 16 KB at 2M rays), the XLA merit
+# reduction passes, and the per-ray cotangent seed arrays from the
+# backward: the vjp of the moments is a 4-vector (c0..c3), and the
+# backward kernel differentiates the per-chunk scalar
+#   obj = c0*m0 + c1*m1 + c2*m2 + c3*m3
+# directly — no seeds ever materialize.
+
+
+def _row_mask(static_n, gidx, tr, j, dtype):
+    """Float validity mask for the (SUB, LANE) chunk at grid step `gidx`,
+    chunk `j`: 1.0 where the flattened ray index < n (padded rays must not
+    contribute to the moment sums)."""
+    row0 = gidx * tr + j * _SUB
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    idx = (row0 + rows) * _LANE + lanes
+    return (idx < static_n).astype(dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_spot_moments(static: SystemStatic, interpret: bool, uniform_w: bool,
+                       params, data):
+    """(m0, m1, m2, m3) weighted spot moments at the image surface,
+    computed by one kernel launch with in-kernel raygen + reduction.
+
+    Caller contract: `supports_fused(static) and
+    supports_fused_raygen(static)`. params/data as in
+    `fused_raygen_trace_final`."""
+    m = _moments_forward(static, interpret, uniform_w, params, data)
+    return tuple(jnp.sum(b) for b in m)
+
+
+def _moments_forward(static, interpret, uniform_w, params, data):
+    from jax.experimental import pallas as pl
+
+    diffp, nondiffp, rg = params
+    n_diff = len(diffp)
+    n_nondiff = len(nondiffp)
+    Hx = data[0]
+    n = Hx.shape[0]
+    rows_pad, grid = _grid_shapes(n, _TR_FWD)
+
+    def kernel(*refs):
+        data_r = refs[:5]
+        rg_r = refs[5]
+        diff_r = refs[6:6 + n_diff]
+        nondiff_r = refs[6 + n_diff:6 + n_diff + n_nondiff]
+        outs = refs[6 + n_diff + n_nondiff:]   # 4 (8, LANE) moment buffers
+        rg_v = rg_r[:]
+        diff_vals = tuple(r[:] for r in diff_r)
+        nondiff_vals = tuple(r[:] for r in nondiff_r)
+        gidx = pl.program_id(0)
+        dtype = data_r[0].dtype
+        acc = [jnp.zeros((8, _LANE), dtype) for _ in range(4)]
+        for j in range(_TR_FWD // _SUB):
+            sl = slice(j * _SUB, (j + 1) * _SUB)
+            rays8 = _tile_raygen(static, rg_v,
+                                 *(r[sl, :] for r in data_r[:4]))
+            res = _tile_trace(static, uniform_w, diff_vals, nondiff_vals,
+                              *rays8, data_r[4][sl, :], for_grad=False)
+            x, y, i = res[0], res[1], res[6]
+            i = i * _row_mask(n, gidx, _TR_FWD, j, dtype)
+
+            def red(v):
+                return jnp.sum(v.reshape(_SUB // 8, 8, _LANE), axis=0)
+
+            acc[0] = acc[0] + red(i)
+            acc[1] = acc[1] + red(x * i)
+            acc[2] = acc[2] + red(y * i)
+            acc[3] = acc[3] + red((x * x + y * y) * i)
+        for o, v in zip(outs, acc):
+            @pl.when(gidx == 0)
+            def _(o=o, v=v):
+                o[:] = v
+
+            @pl.when(gidx > 0)
+            def _(o=o, v=v):
+                o[:] = o[:] + v
+
+    ins = [_pad_2d(a, rows_pad, _LANE, fill=(1.0 if idx == 4 else 0.0))
+           for idx, a in enumerate(data)]
+    ins += [jnp.asarray(rg)]
+    ins += [jnp.asarray(p) for p in diffp]
+    ins += [jnp.asarray(p) for p in nondiffp]
+
+    ray_spec = pl.BlockSpec((_TR_FWD, _LANE), lambda g: (g, jnp.int32(0)),
+                            memory_space=_vmem())
+    in_specs = ([ray_spec] * 5 + [_full_spec(np.shape(rg))]
+                + [_full_spec(np.shape(p)) for p in diffp]
+                + [_full_spec(np.shape(p)) for p in nondiffp])
+    out_shape = [jax.ShapeDtypeStruct((8, _LANE), Hx.dtype)
+                 for _ in range(4)]
+    out_specs = [_full_spec((8, _LANE))] * 4
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*ins)
+    return outs
+
+
+def _moments_fwd(static, interpret, uniform_w, params, data):
+    m = _moments_forward(static, interpret, uniform_w, params, data)
+    return tuple(jnp.sum(b) for b in m), (params, data)
+
+
+def _moments_bwd(static, interpret, uniform_w, res, g):
+    from jax.experimental import pallas as pl
+
+    params, data = res
+    diffp, nondiffp, rg = params
+    n_diff = len(diffp)
+    n_nondiff = len(nondiffp)
+    Hx = data[0]
+    n = Hx.shape[0]
+    rows_pad, grid = _grid_shapes(n, _TR_BWD)
+    # the moment cotangents are 4 scalars — the whole seed of the backward
+    c = jnp.stack([jnp.asarray(gg, Hx.dtype) if gg is not None
+                   else jnp.zeros((), Hx.dtype) for gg in g])
+
+    def kernel(*refs):
+        data_r = refs[:5]
+        rg_r = refs[5]
+        c_r = refs[6]
+        diff_r = refs[7:7 + n_diff]
+        nondiff_r = refs[7 + n_diff:7 + n_diff + n_nondiff]
+        outs = refs[7 + n_diff + n_nondiff:]
+        acc_outs = outs[:1 + n_diff]
+        data_outs = outs[1 + n_diff:]
+        nondiff_vals = tuple(r[:] for r in nondiff_r)
+        rg_v = rg_r[:]
+        cv_ = c_r[:]
+        diff_vals = tuple(r[:] for r in diff_r)
+        gidx = pl.program_id(0)
+        dtype = data_r[0].dtype
+
+        acc = None
+        for j in range(max(_TR_BWD // _SUB_BWD, 1)):
+            sl = slice(j * _SUB_BWD, (j + 1) * _SUB_BWD)
+            mask = _row_mask(n, gidx, _TR_BWD, j, dtype)
+
+            def f(rg_v, Hx_t, Hy_t, Px_t, Py_t, w_tile, *dp):
+                rays8 = _tile_raygen(static, rg_v, Hx_t, Hy_t, Px_t, Py_t)
+                res = _tile_trace(static, uniform_w, dp, nondiff_vals,
+                                  *rays8, w_tile)
+                x, y, i = res[0], res[1], res[6]
+                im = i * mask
+                return jnp.sum(im * (cv_[0] + cv_[1] * x + cv_[2] * y
+                                     + cv_[3] * (x * x + y * y)))
+
+            grads = jax.grad(f, argnums=tuple(range(6 + n_diff)))(
+                rg_v, *(r[sl, :] for r in data_r[:4]), data_r[4][sl, :],
+                *diff_vals)
+            d_data_tile = grads[1:6]
+            for o, v in zip(data_outs, d_data_tile):
+                o[sl, :] = v
+            grads = grads[:1] + grads[6:]
+            if acc is None:
+                acc = list(grads)
+            else:
+                acc = [a + g_ for a, g_ in zip(acc, grads)]
+
+        for o, v in zip(acc_outs, acc):
+            @pl.when(gidx == 0)
+            def _(o=o, v=v):
+                o[:] = v
+
+            @pl.when(gidx > 0)
+            def _(o=o, v=v):
+                o[:] = o[:] + v
+
+    ins = [_pad_2d(a, rows_pad, _LANE, fill=(1.0 if idx == 4 else 0.0))
+           for idx, a in enumerate(data)]
+    ins += [jnp.asarray(rg), c]
+    ins += [jnp.asarray(p) for p in diffp]
+    ins += [jnp.asarray(p) for p in nondiffp]
+
+    ray_spec = pl.BlockSpec((_TR_BWD, _LANE), lambda gq: (gq, jnp.int32(0)),
+                            memory_space=_vmem())
+    in_specs = ([ray_spec] * 5 + [_full_spec(np.shape(rg)),
+                                  _full_spec((4,))]
+                + [_full_spec(np.shape(p)) for p in diffp]
+                + [_full_spec(np.shape(p)) for p in nondiffp])
+    out_shape = ([jax.ShapeDtypeStruct(np.shape(rg), Hx.dtype)]
+                 + [jax.ShapeDtypeStruct(np.shape(p), Hx.dtype)
+                    for p in diffp]
+                 + [jax.ShapeDtypeStruct((rows_pad, _LANE), Hx.dtype)
+                    for _ in range(5)])
+    out_specs = ([_full_spec(np.shape(rg))]
+                 + [_full_spec(np.shape(p)) for p in diffp]
+                 + [ray_spec] * 5)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+
+    d_rg = outs[0]
+    d_diff = tuple(outs[1:1 + len(diffp)])
+    d_nondiff = tuple(jnp.zeros_like(jnp.asarray(p)) for p in nondiffp)
+    d_data = tuple(o.reshape(-1)[:n] for o in outs[1 + len(diffp):])
+    return (d_diff, d_nondiff, d_rg), d_data
+
+
+fused_spot_moments.defvjp(_moments_fwd, _moments_bwd)
+
+
+def spot_moments(static: SystemStatic, params: SystemParams,
+                 Hx, Hy, Px, Py, wavelength, interpret: bool = False):
+    """Weighted spot moments (m0, m1, m2, m3) = (sum i, sum x i, sum y i,
+    sum (x^2+y^2) i) at the image surface, differentiable w.r.t. params and
+    the field/pupil/wavelength inputs. Fused single-launch kernel when the
+    system class supports it; XLA pipeline otherwise. This is the
+    optimization hot path for spot-size style merits (see
+    `optiland_tpu.optimization.merits`)."""
+    dtype = params.cv.dtype
+    Hxb = jnp.broadcast_to(jnp.asarray(Hx, dtype), jnp.shape(Px))
+    Hyb = jnp.broadcast_to(jnp.asarray(Hy, dtype), jnp.shape(Px))
+    Px = jnp.asarray(Px, dtype)
+    Py = jnp.asarray(Py, dtype)
+    uniform_w = jnp.ndim(wavelength) == 0
+    wb = jnp.broadcast_to(jnp.asarray(wavelength, dtype), jnp.shape(Px))
+    use_fused = (supports_fused(static) and supports_fused_raygen(static)
+                 and (interpret or (on_tpu() and dtype == jnp.float32)))
+    if use_fused:
+        if uniform_w:
+            n_table, alpha_table = _uniform_tables(static, params, wavelength)
+        else:
+            n_table = alpha_table = None
+        rg = _raygen_scalars(static, params)
+        p = (_diff_params(params, n_table),
+             _nondiff_params(params, alpha_table), rg)
+        return fused_spot_moments(static, interpret, uniform_w, p,
+                                  (Hxb, Hyb, Px, Py, wb))
+    from optiland_tpu.trace.raygen import generate_rays
+    from optiland_tpu.trace.tracer import trace_rays
+
+    rays0 = generate_rays(static, params, Hxb, Hyb, Px, Py,
+                          wb if not uniform_w
+                          else jnp.asarray(wavelength, dtype))
+    h = trace_rays(static, params, rays0)
+    x, y, i = h.x[-1], h.y[-1], h.intensity[-1]
+    return (jnp.sum(i), jnp.sum(x * i), jnp.sum(y * i),
+            jnp.sum((x * x + y * y) * i))

@@ -513,3 +513,80 @@ def test_fused_thin_lens_parity():
     assert supports_fused(static)
     rays0 = _rays(static, params, n=192)
     _assert_final_parity(static, params, rays0, atol=1e-8)
+
+
+def test_fused_spot_moments_parity():
+    """Moments kernel (in-kernel reduction, scalar-seed backward) vs the
+    XLA pipeline: values and parameter/data gradients must match, and the
+    padded-lane mask must exclude rays beyond n."""
+    from optiland_tpu.optimization.merits import centroid_rms_spot
+    from optiland_tpu.trace.fused import spot_moments
+
+    lens = _singlet(newton_iters=4, asphere=True)
+    lens.set_field_type("angle")
+    lens.add_field(y=0.0)
+    lens.add_field(y=5.0)
+    static, params = lens.build()
+
+    rng = np.random.default_rng(11)
+    n = 200  # deliberately not a multiple of the 128-lane tile
+    Px = jnp.asarray(rng.uniform(-0.9, 0.9, n))
+    Py = jnp.asarray(rng.uniform(-0.9, 0.9, n))
+    Hx = jnp.asarray(rng.uniform(-0.5, 0.5, n))
+    Hy = jnp.asarray(rng.uniform(-0.5, 0.5, n))
+    w = jnp.asarray(0.55)
+
+    def m_xla(p):
+        r0 = generate_rays(static, p, Hx, Hy, Px, Py, w)
+        h = trace_rays(static, p, r0)
+        x, y, i = h.x[-1], h.y[-1], h.intensity[-1]
+        return (jnp.sum(i), jnp.sum(x * i), jnp.sum(y * i),
+                jnp.sum((x * x + y * y) * i))
+
+    got = spot_moments(static, params, Hx, Hy, Px, Py, w, interpret=True)
+    ref = m_xla(params)
+    for name, a, b in zip("0123", got, ref):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-12,
+                                   err_msg=f"m{name}")
+
+    def loss_fused(p):
+        return centroid_rms_spot(static, p, Hx, Hy, Px, Py, w,
+                                 interpret=True)
+
+    def loss_xla(p):
+        m0, m1, m2, m3 = m_xla(p)
+        ws = m0 + 1e-6
+        cx, cy = m1 / ws, m2 / ws
+        return (m3 - 2.0 * (cx * m1 + cy * m2)
+                + (cx * cx + cy * cy) * m0) / ws
+
+    np.testing.assert_allclose(float(loss_fused(params)),
+                               float(loss_xla(params)), rtol=1e-12)
+
+    gf = jax.grad(loss_fused)(params)
+    gx = jax.grad(loss_xla)(params)
+    for name in ("cv", "conic", "thickness", "coeffs"):
+        a = np.asarray(getattr(gf, name))
+        b = np.asarray(getattr(gx, name))
+        scale = max(np.abs(b).max(), 1e-9)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=name)
+
+    # data cotangents through the scalar-seed backward
+    ghf = jax.grad(lambda hy: centroid_rms_spot(
+        static, params, Hx, hy, Px, Py, w, interpret=True))(Hy)
+    ghx = jax.grad(lambda hy: (lambda m: (m[3] - 2.0 * (
+        (m[1] / (m[0] + 1e-6)) * m[1] + (m[2] / (m[0] + 1e-6)) * m[2])
+        + ((m[1] / (m[0] + 1e-6)) ** 2 + (m[2] / (m[0] + 1e-6)) ** 2)
+        * m[0]) / (m[0] + 1e-6))(
+        (lambda h: (jnp.sum(h.intensity[-1]),
+                    jnp.sum(h.x[-1] * h.intensity[-1]),
+                    jnp.sum(h.y[-1] * h.intensity[-1]),
+                    jnp.sum((h.x[-1] ** 2 + h.y[-1] ** 2)
+                            * h.intensity[-1])))(
+            trace_rays(static, params,
+                       generate_rays(static, params, Hx, hy, Px, Py, w)))))(
+        Hy)
+    a, b = np.asarray(ghf), np.asarray(ghx)
+    scale = max(np.abs(b).max(), 1e-9)
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-6)
