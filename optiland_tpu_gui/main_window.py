@@ -6,16 +6,21 @@ function-local so the services layer stays importable without PySide6."""
 from __future__ import annotations
 
 from optiland_tpu_gui.actions import default_actions
+from optiland_tpu_gui.command_palette import CommandPalette
 from optiland_tpu_gui.connector import OptilandConnector
+from optiland_tpu_gui.logging_handler import install as install_log_handler
+from optiland_tpu_gui.panels import PanelManager
 from optiland_tpu_gui.services import (
     AnalysisRunner,
     FileService,
     OptimizationService,
     SurfaceService,
     SystemService,
+    ViewerService,
 )
 from optiland_tpu_gui.settings import GuiConfig, stylesheet
 from optiland_tpu_gui.terminal import PythonTerminalService
+from optiland_tpu_gui.toast import ToastManager
 
 
 def require_qt():
@@ -40,11 +45,21 @@ class MainWindow:
         self.connector = connector or OptilandConnector()
         self.config = config or GuiConfig()
         (self.surface_service, self.system_service, self.file_service,
-         self.analysis_runner, self.optimization_service) = (
-             self.build_services(self.connector))
+         self.analysis_runner, self.optimization_service,
+         self.viewer_service) = self.build_services(self.connector)
         self.terminal = PythonTerminalService(self.connector)
         self.actions = default_actions(self)
         self._register_extra_actions()
+        self.panels = PanelManager(config=self.config)
+        self.toasts = ToastManager()
+        self.log_handler = install_log_handler()
+        self.palette = self._build_palette()
+        # surface async-optimization outcomes as toasts (reference main
+        # window status-bar/toast notifications)
+        self.optimization_service.finished.connect(
+            lambda result: self.toasts.success("Optimization finished"))
+        self.optimization_service.failed.connect(
+            lambda exc: self.toasts.error(f"Optimization failed: {exc}"))
         self._qt = None
 
     @staticmethod
@@ -55,7 +70,31 @@ class MainWindow:
             FileService(connector),
             AnalysisRunner(connector),
             OptimizationService(connector),
+            ViewerService(connector),
         )
+
+    def _build_palette(self) -> CommandPalette:
+        """Every registered action is reachable from the command palette
+        (reference `command_palette.py` builds its list the same way)."""
+        palette = CommandPalette()
+        for name in self.actions.names():
+            a = self.actions.get(name)
+            palette.register(
+                a.name, a.label.replace("&", ""),
+                lambda n=a.name: self.actions.trigger(n),
+                category=(a.menu or "").replace("&", ""),
+                shortcut=a.shortcut or "",
+                enabled=lambda n=a.name: self.actions.get(n).enabled)
+        for panel in self.panels.names():
+            palette.register(
+                f"panel.toggle.{panel}", f"Toggle panel: {panel}",
+                lambda p=panel: self.panels.toggle(p), category="View")
+        for analysis in self.analysis_runner.available_analyses():
+            palette.register(
+                f"analysis.run.{analysis}", f"Run analysis: {analysis}",
+                lambda a=analysis: self.analysis_runner.run(a),
+                category="Analysis")
+        return palette
 
     def _register_extra_actions(self):
         from optiland_tpu_gui.settings import THEMES

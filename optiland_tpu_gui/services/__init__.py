@@ -5,6 +5,7 @@ from optiland_tpu_gui.services.file_service import FileService
 from optiland_tpu_gui.services.optimization_service import OptimizationService
 from optiland_tpu_gui.services.surface_service import SurfaceService
 from optiland_tpu_gui.services.system_service import SystemService
+from optiland_tpu_gui.services.viewer_service import ViewerService
 
 __all__ = [
     "AnalysisRunner",
@@ -12,4 +13,5 @@ __all__ = [
     "OptimizationService",
     "SurfaceService",
     "SystemService",
+    "ViewerService",
 ]

@@ -74,6 +74,79 @@ class SystemService:
 
         self.connector.mutate(apply)
 
+    # -- title / telecentricity / apodization ----------------------------
+    def get_title(self) -> str:
+        return self.connector.get_optic().name
+
+    def set_title(self, title: str) -> None:
+        def apply(o):
+            o.name = str(title)
+
+        self.connector.mutate(apply)
+
+    def get_telecentric(self) -> bool:
+        return bool(self.connector.get_optic().obj_space_telecentric)
+
+    def set_telecentric(self, flag: bool) -> None:
+        self.connector.mutate(lambda o: o.set_telecentric(bool(flag)))
+
+    def get_apodization_types(self) -> list[str]:
+        return ["uniform", "gaussian", "cosine", "cosine_fourth", "bartlett",
+                "hanning", "hamming", "tukey"]
+
+    def set_apodization(self, spec) -> None:
+        """`spec`: None/'uniform', a name, (name, kwargs), or an instance."""
+        def apply(o):
+            o.set_apodization(None if spec in (None, "uniform") else spec)
+
+        self.connector.mutate(apply)
+
+    # -- pickups / solves tables (reference `system_properties_panel.py`
+    # pickup & solve tabs; core `system/solves.py`) -----------------------
+    def get_pickups(self) -> list[dict]:
+        out = []
+        for p in self.connector.get_optic().pickups.pickups:
+            out.append({"source": p.source_surface_idx, "attr": p.attr_type,
+                        "target": p.target_surface_idx, "scale": p.scale,
+                        "offset": p.offset})
+        return out
+
+    def add_pickup(self, source: int, attr_type: str, target: int,
+                   scale: float = 1.0, offset: float = 0.0) -> None:
+        self.connector.mutate(
+            lambda o: o.pickups.add(source, attr_type, target,
+                                    scale=scale, offset=offset))
+
+    def remove_pickup(self, index: int) -> None:
+        def apply(o):
+            o.pickups.pickups.pop(index)
+            o._dirty()
+
+        self.connector.mutate(apply)
+
+    def get_solve_types(self) -> list[str]:
+        from optiland_tpu.system.solves import _SOLVE_MAP
+
+        return sorted(_SOLVE_MAP)
+
+    def get_solves(self) -> list[dict]:
+        out = []
+        for s in self.connector.get_optic().solves.solves:
+            out.append({"type": type(s).__name__,
+                        "surface": getattr(s, "surface_idx", None)})
+        return out
+
+    def add_solve(self, solve_type: str, *args, **kwargs) -> None:
+        self.connector.mutate(
+            lambda o: o.solves.add(solve_type, *args, **kwargs))
+
+    def remove_solve(self, index: int) -> None:
+        def apply(o):
+            o.solves.solves.pop(index)
+            o._dirty()
+
+        self.connector.mutate(apply)
+
     # -- info ------------------------------------------------------------
     def first_order(self) -> dict:
         """Paraxial summary table for the properties panel."""
