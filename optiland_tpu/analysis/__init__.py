@@ -1,5 +1,5 @@
 from optiland_tpu.analysis.spot import SpotDiagram
-from optiland_tpu.analysis.fans import RayFan
+from optiland_tpu.analysis.fans import BestFitRayFan, RayFan
 from optiland_tpu.analysis.distortion import Distortion, GridDistortion
 from optiland_tpu.analysis.field_curvature import FieldCurvature
 from optiland_tpu.analysis.rms_vs_field import (
@@ -12,7 +12,12 @@ from optiland_tpu.analysis.through_focus import (
     ThroughFocusMTF,
     ThroughFocusSpotDiagram,
 )
-from optiland_tpu.analysis.pupil_aberration import AngleVsHeight, PupilAberration
+from optiland_tpu.analysis.pupil_aberration import (
+    AngleVsHeight,
+    FieldIncidentAngleVsHeight,
+    PupilAberration,
+    PupilIncidentAngleVsHeight,
+)
 from optiland_tpu.analysis.irradiance import IncoherentIrradiance
 from optiland_tpu.analysis.intensity import RadiantIntensity
 from optiland_tpu.analysis.jones_pupil import JonesPupil
@@ -30,6 +35,7 @@ __all__ = [
     "SpatiallyVariableSimulator",
     "DistortionWarper",
     "SpotDiagram",
+    "BestFitRayFan",
     "RayFan",
     "Distortion",
     "GridDistortion",
@@ -42,6 +48,8 @@ __all__ = [
     "ThroughFocusMTF",
     "PupilAberration",
     "AngleVsHeight",
+    "FieldIncidentAngleVsHeight",
+    "PupilIncidentAngleVsHeight",
     "IncoherentIrradiance",
     "RadiantIntensity",
     "JonesPupil",

@@ -49,13 +49,25 @@ class RayFan:
         y = hist.y[-1].reshape(F, W, 2, P)
         i = hist.intensity[-1].reshape(F, W, 2, P)
 
-        # center every wavelength on the PRIMARY wavelength's P=0 ray
-        # (reference `_remove_distortion`, `ray_fan.py:161-204`); fall back to
-        # the masked fan mean when the central ray is vignetted
-        prim = optic.primary_wavelength
-        ref_j = self.wavelengths.index(prim) if prim in self.wavelengths else 0
-        c = P // 2
         self.Px = self.Py = p
+        off_x, off_y = self._reference_offsets(x, y, i, P)
+        ex = x[:, :, 0, :] - off_x[:, None, None]
+        ey = y[:, :, 1, :] - off_y[:, None, None]
+        self.data = {
+            "Px": p, "Py": p,
+            "ex": ex, "ey": ey,
+            "intensity_x": i[:, :, 0, :], "intensity_y": i[:, :, 1, :],
+        }
+
+    def _reference_offsets(self, x, y, i, P):
+        """Per-field (off_x, off_y) the fans are centered on: the PRIMARY
+        wavelength's P=0 ray (reference `_remove_distortion`,
+        `ray_fan.py:161-204`); falls back to the masked fan mean when the
+        central ray is vignetted.  `BestFitRayFan` overrides this."""
+        prim = self.optic.primary_wavelength
+        ref_j = (self.wavelengths.index(prim)
+                 if prim in self.wavelengths else 0)
+        c = P // 2
 
         def _offset(v, inten):
             center_ok = inten[:, ref_j, c] > 0
@@ -65,13 +77,8 @@ class RayFan:
             )
             return jnp.where(center_ok, v[:, ref_j, c], mean)
 
-        ex = x[:, :, 0, :] - _offset(x[:, :, 0], i[:, :, 0])[:, None, None]
-        ey = y[:, :, 1, :] - _offset(y[:, :, 1], i[:, :, 1])[:, None, None]
-        self.data = {
-            "Px": p, "Py": p,
-            "ex": ex, "ey": ey,
-            "intensity_x": i[:, :, 0, :], "intensity_y": i[:, :, 1, :],
-        }
+        return _offset(x[:, :, 0], i[:, :, 0]), _offset(y[:, :, 1],
+                                                        i[:, :, 1])
 
     def view(self, figsize=(10, 3.33)):
         import matplotlib.pyplot as plt
@@ -94,3 +101,38 @@ class RayFan:
         axs[0, 0].legend()
         fig.tight_layout()
         return fig, axs
+
+
+class BestFitRayFan(RayFan):
+    """Ray fan referenced to the best-fit sphere center instead of the
+    chief ray (reference `analysis/ray_fan.py:247-340`): for each field, a
+    2-D pupil trace at the primary wavelength is fit with the LSQ reference
+    sphere (`wavefront.core` strategy "best_fit") and the fan origin is the
+    sphere center's lateral (x, y). No per-wavelength recentering — the
+    plot shows all aberrations (including distortion) relative to the
+    optimal focus."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_points: int = 256, num_rays_for_fit: int = 15):
+        self.num_rays_for_fit = num_rays_for_fit
+        super().__init__(optic, fields, wavelengths, num_points)
+
+    def _reference_offsets(self, x, y, i, P):
+        from optiland_tpu.core.distributions import generate
+        from optiland_tpu.wavefront.core import wavefront_data
+
+        static, params = self.optic.build()
+        Px, Py = generate("hexapolar", self.num_rays_for_fit)
+        wl = self.optic.primary_wavelength
+        aiming = getattr(self.optic, "ray_aiming", "paraxial")
+        off_x, off_y = [], []
+        for (Hx, Hy) in self.fields:
+            data = wavefront_data(
+                static, params, Hx, Hy,
+                jnp.asarray(Px, params.cv.dtype),
+                jnp.asarray(Py, params.cv.dtype),
+                jnp.asarray(wl, params.cv.dtype),
+                strategy="best_fit", aiming=aiming)
+            off_x.append(data.center[0])
+            off_y.append(data.center[1])
+        return jnp.stack(off_x), jnp.stack(off_y)

@@ -112,3 +112,27 @@ class AngleVsHeight:
 
 
 _ = jnp
+
+
+class PupilIncidentAngleVsHeight(AngleVsHeight):
+    """Angle vs height swept over pupil coordinates at a fixed field —
+    telecentricity after a point source (reference
+    `analysis/angle_vs_height.py:322-400`)."""
+
+    def __init__(self, optic, surface_idx: int = -1, axis: int = 1,
+                 wavelength="primary", num_points: int = 128,
+                 Hx: float = 0.0, Hy: float = 0.0):
+        super().__init__(optic, surface_idx, axis, wavelength, num_points,
+                         scan="pupil", fixed=(Hx, Hy))
+
+
+class FieldIncidentAngleVsHeight(AngleVsHeight):
+    """Angle vs height swept over field coordinates at a fixed pupil point
+    — scan-lens telecentricity (reference
+    `analysis/angle_vs_height.py:401-480`)."""
+
+    def __init__(self, optic, surface_idx: int = -1, axis: int = 1,
+                 wavelength="primary", num_points: int = 128,
+                 Px: float = 0.0, Py: float = 0.0):
+        super().__init__(optic, surface_idx, axis, wavelength, num_points,
+                         scan="field", fixed=(Px, Py))

@@ -10,6 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from optiland_tpu import config
 from optiland_tpu import zernike as _z
 from optiland_tpu.core import distributions as dist
 from optiland_tpu.system import paraxial as px
@@ -50,8 +51,10 @@ class SampledMTF:
         A = _z.design_matrix(zernike_type, zernike_terms, r, phi) * w[:, None]
         self.zernike_coeffs, *_ = jnp.linalg.lstsq(A, self.opd_waves * w)
 
-        self.P1 = (jnp.sqrt(self.intensity)
-                   * jnp.exp(1j * 2 * jnp.pi * self.opd_waves))
+        pdt = config.phase_dtype()  # c64 on TPU (no C128 support)
+        iu = config.imag_unit()
+        self.P1 = (jnp.sqrt(self.intensity).astype(pdt)
+                   * jnp.exp(iu * (2 * jnp.pi * self.opd_waves).astype(pdt)))
         self.otf_at_zero = jnp.sum(self.intensity)
 
     def calculate_mtf(self, frequencies):
@@ -73,8 +76,10 @@ class SampledMTF:
             phi = jnp.arctan2(ys, xs)
             opd_shift = _z.evaluate(self.zernike_type, self.zernike_coeffs,
                                     r, phi)
-            P2c = (jnp.sqrt(self.intensity)
-                   * jnp.exp(-1j * 2 * jnp.pi * opd_shift))
+            pdt = config.phase_dtype()
+            P2c = (jnp.sqrt(self.intensity).astype(pdt)
+                   * jnp.exp(-config.imag_unit()
+                             * (2 * jnp.pi * opd_shift).astype(pdt)))
             P2c = jnp.where(r > 1.0, 0.0 + 0.0j, P2c)
             otf = jnp.sum(self.P1 * P2c)
             return jnp.abs(otf / self.otf_at_zero)

@@ -11,15 +11,25 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from optiland_tpu import config
 from optiland_tpu.polarization.prt import local_basis
 
 
-def _assemble(j00, j01, j10, j11, j22, n, dtype=jnp.complex128):
+def _assemble(j00, j01, j10, j11, j22, n, dtype=None):
+    # policy complex dtype: c64 on TPU (no C128 support), c128 in f64
+    # parity; Python complex scalars are converted HOST-side (a raw
+    # `1j*...` operand would ship a c128 scalar to the device — TPU trap)
+    dtype = dtype or config.complex_dtype()
     z = jnp.zeros(n, dtype)
+
+    def c(v):
+        return (jnp.asarray(complex(v), dtype) if isinstance(v, (int, float,
+                complex)) else v) + z
+
     rows = [
-        jnp.stack([j00 + z, j01 + z, z], axis=-1),
-        jnp.stack([j10 + z, j11 + z, z], axis=-1),
-        jnp.stack([z, z, j22 + z], axis=-1),
+        jnp.stack([c(j00), c(j01), z], axis=-1),
+        jnp.stack([c(j10), c(j11), z], axis=-1),
+        jnp.stack([z, z, c(j22)], axis=-1),
     ]
     return jnp.stack(rows, axis=-2)
 
@@ -29,7 +39,8 @@ def fresnel(k0, k1, aoi, n1, n2, reflect: bool):
     (reference `JonesFresnel.calculate_matrix`, `jones.py:57-117`)."""
     cos_i = jnp.cos(aoi)
     n = n2 / n1
-    root = jnp.sqrt((n**2 - jnp.sin(aoi) ** 2).astype(jnp.complex128))
+    root = jnp.sqrt((n**2 - jnp.sin(aoi) ** 2)
+                    .astype(config.complex_dtype()))
     if reflect:
         s = (cos_i - root) / (cos_i + root)
         p = (n**2 * cos_i - root) / (n**2 * cos_i + root)
@@ -98,9 +109,11 @@ def linear_retarder(k0, k1, retardance, axis=(1.0, 0.0, 0.0)):
     """(reference `JonesLinearRetarder`)."""
     d = retardance
     us, up, *_ = _axis_in_basis(k0, k1, axis)
-    j00 = jnp.exp(-1j * d / 2) * us**2 + jnp.exp(1j * d / 2) * up**2
-    j0x = -2j * jnp.sin(d / 2) * us * up
-    j11 = jnp.exp(1j * d / 2) * us**2 + jnp.exp(-1j * d / 2) * up**2
+    d = jnp.asarray(d, config.phase_dtype())
+    iu = config.imag_unit()
+    j00 = jnp.exp(-iu * d / 2) * us**2 + jnp.exp(iu * d / 2) * up**2
+    j0x = -2 * iu * jnp.sin(d / 2) * us * up
+    j11 = jnp.exp(iu * d / 2) * us**2 + jnp.exp(-iu * d / 2) * up**2
     return _assemble(j00, j0x, j0x, j11, 1.0, k0.shape[0])
 
 

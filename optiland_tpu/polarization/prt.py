@@ -11,8 +11,11 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from optiland_tpu import config
 
-def identity_prt(n: int, dtype=jnp.complex128):
+
+def identity_prt(n: int, dtype=None):
+    dtype = dtype or config.complex_dtype()
     return jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
 
 
@@ -76,8 +79,10 @@ def initial_field(k, state):
     p = jnp.cross(k, x)
     p = p / jnp.linalg.norm(p, axis=-1, keepdims=True)
     s = jnp.cross(p, k)
-    E = (state.Ex * jnp.exp(1j * state.phase_x) * s
-         + state.Ey * jnp.exp(1j * state.phase_y) * p)
+    pdt = config.phase_dtype()
+    iu = config.imag_unit()
+    E = (state.Ex * jnp.exp(iu * jnp.asarray(state.phase_x, pdt)) * s
+         + state.Ey * jnp.exp(iu * jnp.asarray(state.phase_y, pdt)) * p)
     return E
 
 

@@ -18,6 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from optiland_tpu import config
 from optiland_tpu.core.resolve import resolve_wavelengths
 from optiland_tpu.system import paraxial as px
 from optiland_tpu.wavefront.core import wavefront_data
@@ -39,8 +40,11 @@ def _pupil_grid(static, params, Hx, Hy, wavelength, num_rays, strategy,
 
     data = wavefront_data(static, params, Hx, Hy, Px, Py, wavelength,
                           strategy=strategy, aiming=aiming)
-    amp = jnp.sqrt(data.intensity)
-    P = amp * jnp.exp(-1j * 2.0 * jnp.pi * data.opd)
+    # phase in config.phase_dtype() so TPU builds c64 (no C128 on TPU)
+    pdt = config.phase_dtype()
+    amp = jnp.sqrt(data.intensity).astype(pdt)
+    P = amp * jnp.exp(-config.imag_unit()
+                      * (2.0 * jnp.pi * data.opd).astype(pdt))
     P = jnp.where(inside, P, 0.0)
     return P.reshape(num_rays, num_rays)
 
@@ -144,7 +148,9 @@ def _vector_pupils(static, params, Hx, Hy, wavelength, num_rays, strategy,
                           strategy=strategy, polarization=state,
                           aiming=aiming)
     valid = data.intensity > 0
-    phase = jnp.exp(-1j * 2.0 * jnp.pi * data.opd)
+    pdt = config.phase_dtype()
+    phase = jnp.exp(-config.imag_unit()
+                    * (2.0 * jnp.pi * data.opd).astype(pdt))
     pupils = []
     for s in range(data.E_exits.shape[0]):
         for c in range(3):

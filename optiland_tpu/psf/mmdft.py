@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from optiland_tpu import config
+
 from optiland_tpu.psf.fft import _pupil_grid, calculate_grid_size
 from optiland_tpu.system import paraxial as px
 
@@ -57,12 +59,17 @@ class MMDFTPSF:
                                 self.num_rays, strategy)
             pc = jnp.arange(self.num_rays) - self.num_rays // 2
             ic = jnp.arange(image_size) - image_size // 2
-            right = jnp.exp(-2j * jnp.pi * jnp.outer(pc, ic) / pad_size)
-            left = jnp.exp(-2j * jnp.pi * jnp.outer(ic, pc) / pad_size)
+            pdt = config.phase_dtype()  # c64 on TPU (no C128 support)
+            iu = config.imag_unit()
+            right = jnp.exp(
+                -2 * iu * (jnp.pi * jnp.outer(pc, ic) / pad_size).astype(pdt))
+            left = jnp.exp(
+                -2 * iu * (jnp.pi * jnp.outer(ic, pc) / pad_size).astype(pdt))
             G = left @ (pupil @ right)
             psf = jnp.real(G * jnp.conj(G))
             # DL normalization: uniform unit pupil through the same kernels
-            ideal = jnp.where(jnp.abs(pupil) > 0, 1.0 + 0j, 0.0)
+            ideal = jnp.where(jnp.abs(pupil) > 0,
+                              jnp.asarray(1.0 + 0j, pupil.dtype), 0.0)
             G0 = left @ (ideal @ right)
             peak = jnp.max(jnp.real(G0 * jnp.conj(G0)))
             return psf / peak * 100.0

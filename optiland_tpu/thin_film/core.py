@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from optiland_tpu import config
+
 # sqrt(eps0/mu0) in siemens, as the reference (`thin_film/core.py:69`)
 _SQRT_EPS_MU = 0.002654418729832701370374020517935
 
@@ -23,8 +25,9 @@ def _snell_cos(n0, theta0, n):
     nr = jnp.real(n)
     k = jnp.imag(n)
     return jnp.sqrt(
-        (nr**2 - k**2 - (n0 * jnp.sin(theta0)) ** 2 - 2j * nr * k)
-        .astype(jnp.complex128)
+        (nr**2 - k**2 - (n0 * jnp.sin(theta0)) ** 2
+         - 2 * config.imag_unit() * nr * k)
+        .astype(config.complex_dtype())
     ) / n
 
 
@@ -33,7 +36,9 @@ def _admittance(n, cos_t, pol: str):
     if pol == "s":
         return eta_s
     if pol == "p":
-        return _SQRT_EPS_MU**2 * (jnp.real(n) - 1j * jnp.imag(n)) ** 2 / eta_s
+        return (_SQRT_EPS_MU**2
+                * (jnp.real(n) - config.imag_unit() * jnp.imag(n)) ** 2
+                / eta_s)
     raise ValueError("pol must be 's' or 'p'")
 
 
@@ -51,8 +56,9 @@ def tmm_coh(n0, ns, layer_n, layer_d_um, wavelength_um, theta0_rad, pol: str):
     Returns:
         (r, t, R, T, A) matching the reference's `_tmm_coh`.
     """
-    n0 = jnp.asarray(n0, jnp.complex128)
-    ns = jnp.asarray(ns, jnp.complex128)
+    cdt = config.complex_dtype()  # c64 on TPU (no C128 support)
+    n0 = jnp.asarray(n0, cdt)
+    ns = jnp.asarray(ns, cdt)
     w = jnp.asarray(wavelength_um)
     th = jnp.asarray(theta0_rad)
 
@@ -67,14 +73,15 @@ def tmm_coh(n0, ns, layer_n, layer_d_um, wavelength_um, theta0_rad, pol: str):
     D = jnp.ones_like(eta0)
 
     for n_l, d_l in zip(layer_n, layer_d_um):
-        n_l = jnp.asarray(n_l, jnp.complex128)
+        n_l = jnp.asarray(n_l, cdt)
         cos_l = _snell_cos(n0, th, n_l)
         eta_l = _admittance(n_l, cos_l, pol)
         delta = 2.0 * jnp.pi / w * n_l * d_l * cos_l
         c = jnp.cos(delta)
         s = jnp.sin(delta)
-        mB = 1j * (s / eta_l)
-        mC = 1j * (eta_l * s)
+        iu = config.imag_unit()
+        mB = iu * (s / eta_l)
+        mC = iu * (eta_l * s)
         A, B, C, D = (A * c + B * mC, A * mB + B * c,
                       C * c + D * mC, C * mB + D * c)
 

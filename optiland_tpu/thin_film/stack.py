@@ -15,6 +15,8 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from optiland_tpu import config
+
 from optiland_tpu.materials.catalog import resolve_material
 from optiland_tpu.materials.dispersion import material_extinction, material_index
 from optiland_tpu.thin_film.core import tmm_coh
@@ -36,7 +38,7 @@ class Layer:
         else:
             k = material_extinction(m.formula, m.n_coeffs,
                                     jnp.asarray(m.coefficients), wavelength_um)
-        return n + 1j * k
+        return n + config.imag_unit() * k
 
 
 class ThinFilmStack:
@@ -94,7 +96,8 @@ class ThinFilmStack:
         n0m, nsm = self.incident_material, self.substrate_material
         mk = lambda m: (  # noqa: E731
             material_index(m.formula, m.n_coeffs, jnp.asarray(m.coefficients), w)
-            + 1j * (jnp.interp(jnp.asarray(w), jnp.asarray(m.k_table[0]),
+            + config.imag_unit()
+            * (jnp.interp(jnp.asarray(w), jnp.asarray(m.k_table[0]),
                                jnp.asarray(m.k_table[1]))
                     if m.k_table is not None else
                     material_extinction(m.formula, m.n_coeffs,

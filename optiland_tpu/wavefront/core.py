@@ -48,6 +48,9 @@ class WavefrontData:
     # polarization state (reference `wavefront_data.py:38` E_exits), stacked
     # to (n_states, N, 3); None for scalar traces
     E_exits: jax.Array | None = None
+    # reference-sphere center (xc, yc, zc) — the best-fit strategy's center
+    # feeds BestFitRayFan (reference `analysis/ray_fan.py:247-340`)
+    center: jax.Array | None = None
 
 
 def _sphere_path_length(x, y, z, L, M, N, xc, yc, zc, R):
@@ -166,16 +169,25 @@ def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
         zc = jnp.sum(z * intensity) / wsum
         R = jnp.sqrt(xc**2 + yc**2 + (zc - pupil_z) ** 2)
     elif strategy == "best_fit":
-        # LSQ sphere through the wavefront point cloud: first back-project on
-        # the chief-ray sphere to get points, then algebraic sphere fit
-        # (reference BestFitStrategy, `strategy.py:520-620`).
-        R0 = jnp.sqrt(cx**2 + cy**2 + (cz - pupil_z) ** 2)
-        t0 = _sphere_path_length(x, y, z, L, M, N, cx, cy, cz, R0)
+        # LSQ sphere through the wavefront point cloud: each ray is
+        # back-projected from its image hit by its FULL accumulated OPD
+        # (geometrized with the image-space index) — exactly the
+        # reference's `_points_from_rays` (`strategy.py:367-393`) — then
+        # the same algebraic sphere fit (`strategy.py:556-582`).
+        # the tilt correction folds the off-axis plane-wave phase into the
+        # path so raw OPD is comparable across the bundle, matching the
+        # reference's ray-start convention
+        opd_bf = opd + _tilt_correction(static, params, Hx, Hy, Px, Py, epd)
+        t0 = opd_bf / n_img
         wx = x - t0 * L
         wy = y - t0 * M
         wz = z - t0 * N
-        A = jnp.stack([wx, wy, wz, jnp.ones_like(wx)], axis=-1)
-        b = wx**2 + wy**2 + wz**2
+        # vignetted rays are excluded from the fit (reference `valid` mask,
+        # `strategy.py:376-385`) — masked rows instead of boolean indexing
+        # to keep shapes static under jit
+        live = (intensity > 0).astype(wx.dtype)
+        A = jnp.stack([wx, wy, wz, jnp.ones_like(wx)], axis=-1) * live[:, None]
+        b = (wx**2 + wy**2 + wz**2) * live
         sol, *_ = jnp.linalg.lstsq(A, b)
         xc, yc, zc = sol[0] / 2.0, sol[1] / 2.0, sol[2] / 2.0
         R = jnp.sqrt(sol[3] + xc**2 + yc**2 + zc**2)
@@ -205,4 +217,5 @@ def wavefront_data(static: SystemStatic, params: SystemParams, Hx, Hy, Px, Py,
         intensity=intensity,
         radius=R,
         E_exits=E_exits,
+        center=jnp.stack([xc, yc, zc]),
     )

@@ -117,31 +117,61 @@ class MainWindow:
     # -- Qt side ---------------------------------------------------------
     def show(self):  # pragma: no cover - needs a display
         require_qt()
-        from PySide6 import QtGui, QtWidgets
+        from PySide6 import QtCore, QtGui, QtWidgets
 
         from optiland_tpu_gui.terminal import make_terminal_widget
         from optiland_tpu_gui.widgets import (
             AnalysisPanel,
+            CommandPaletteDialog,
+            CustomDockWidget,
             LensEditor,
             OptimizationPanel,
             SagViewerPanel,
+            Sidebar,
             SystemPropertiesPanel,
+            ToastOverlay,
             ViewerPanel,
         )
 
         win = QtWidgets.QMainWindow()
         win.setWindowTitle("optiland_tpu")
         win.setStyleSheet(stylesheet(self.config.theme))
-        tabs = QtWidgets.QTabWidget()
-        tabs.addTab(LensEditor(self.surface_service), "Lens Editor")
-        tabs.addTab(SystemPropertiesPanel(self.system_service), "System")
-        tabs.addTab(AnalysisPanel(self.analysis_runner), "Analysis")
-        tabs.addTab(OptimizationPanel(self.optimization_service),
-                    "Optimization")
-        tabs.addTab(ViewerPanel(self.connector), "Viewer")
-        tabs.addTab(SagViewerPanel(self.connector), "Sag")
-        tabs.addTab(make_terminal_widget(self.terminal), "Console")
-        win.setCentralWidget(tabs)
+
+        panel_widgets = {
+            "lens_editor": ("Lens Editor", "LDE",
+                            LensEditor(self.surface_service)),
+            "system_properties": ("System", "SYS",
+                                  SystemPropertiesPanel(self.system_service)),
+            "analysis": ("Analysis", "ANA",
+                         AnalysisPanel(self.analysis_runner)),
+            "optimization": ("Optimization", "OPT",
+                             OptimizationPanel(self.optimization_service)),
+            "viewer": ("Viewer", "2D", ViewerPanel(self.viewer_service)),
+            "sag_viewer": ("Sag", "SAG", SagViewerPanel(self.viewer_service)),
+            "console": ("Console", ">_", make_terminal_widget(self.terminal)),
+        }
+        # sidebar + central stack for the primary panels, docks for the rest
+        sidebar = Sidebar()
+        stack = QtWidgets.QStackedWidget()
+        stack_index: dict[str, int] = {}
+        for name in self.panels.names():
+            title, icon, widget = panel_widgets[name]
+            if name in ("lens_editor", "analysis", "optimization", "viewer"):
+                stack_index[name] = stack.addWidget(widget)
+                sidebar.add_entry(name, icon)
+            else:
+                dock = CustomDockWidget(title, widget, panels=self.panels,
+                                        panel_name=name)
+                win.addDockWidget(QtCore.Qt.RightDockWidgetArea, dock)
+        sidebar.panel_selected.connect(
+            lambda n: stack.setCurrentIndex(stack_index[n]))
+        central = QtWidgets.QWidget()
+        hbox = QtWidgets.QHBoxLayout(central)
+        hbox.setContentsMargins(0, 0, 0, 0)
+        hbox.addWidget(sidebar)
+        hbox.addWidget(stack, 1)
+        win.setCentralWidget(central)
+        sidebar.select("lens_editor")
 
         menus: dict[str, QtWidgets.QMenu] = {}
         for menu_name, actions in self.actions.by_menu().items():
@@ -157,6 +187,13 @@ class MainWindow:
             .addMenu("Open &Recent")
         for path in self.config.recent_files:
             recent.addAction(path, lambda p=path: self.open_file(p))
+
+        # command palette on Ctrl+Shift+P (reference main_window shortcut)
+        QtGui.QShortcut(
+            QtGui.QKeySequence("Ctrl+Shift+P"), win,
+            activated=lambda: CommandPaletteDialog(self.palette, win).exec())
+        # toast overlay in the corner of the main window
+        ToastOverlay(self.toasts, win)
 
         self._qt = win
         win.show()

@@ -19,6 +19,8 @@ ANALYSIS_REGISTRY: list[tuple[str, str, str]] = [
     # Spot & Ray
     ("Spot & Ray", "Spot Diagram", "optiland_tpu.analysis.SpotDiagram"),
     ("Spot & Ray", "Ray Fan", "optiland_tpu.analysis.RayFan"),
+    ("Spot & Ray", "Best-Fit Ray Fan",
+     "optiland_tpu.analysis.BestFitRayFan"),
     ("Spot & Ray", "Through-Focus Spot",
      "optiland_tpu.analysis.ThroughFocusSpotDiagram"),
     ("Spot & Ray", "Encircled Energy",
