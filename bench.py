@@ -118,7 +118,9 @@ def main():
 
     # REPS: the chip is multi-tenant; per-call interference inflates any
     # single timing by 10-30%. min-of-8 estimates true device time.
-    K1, K2, REPS = 2, 12, 8
+    # REPS=12: tenant-drift windows last minutes; more reps = more chances
+    # for the min to sample a quiet window (PERF.md "Measurement reality").
+    K1, K2, REPS = 2, 12, 12
 
     def timed(f):
         out = np.asarray(f(params, Hx, Hy, Px, Py))  # compile + warmup
