@@ -117,10 +117,10 @@ def main():
         return jax.jit(f)
 
     # REPS: the chip is multi-tenant; per-call interference inflates any
-    # single timing by 10-30%. min-of-8 estimates true device time.
-    # REPS=12: tenant-drift windows last minutes; more reps = more chances
-    # for the min to sample a quiet window (PERF.md "Measurement reality").
-    K1, K2, REPS = 2, 12, 12
+    # single timing by 10-30%, so min-of-REPS estimates true device time.
+    # Tenant-drift windows last minutes; more reps = more chances for the
+    # min to sample a quiet window (PERF.md "Measurement reality").
+    K1, K2, REPS = 2, 12, 24
 
     def timed(f):
         out = np.asarray(f(params, Hx, Hy, Px, Py))  # compile + warmup

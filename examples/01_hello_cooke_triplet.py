@@ -46,7 +46,7 @@ def main(num_rings: int = 6):
     hist = lens.trace(Hx=0.0, Hy=0.0, num_rays=32, distribution="hexapolar")
     x, y = np.asarray(hist.x[-1]), np.asarray(hist.y[-1])
     print(f"on-axis image-plane spot: {x.size} rays, "
-          f"rms radius = {np.hypot(x, y).std():.3e} mm")
+          f"rms radius = {np.sqrt(np.mean((x - x.mean())**2 + (y - y.mean())**2)):.3e} mm")
 
     spot = SpotDiagram(lens, num_rings=num_rings)
     rms = np.asarray(spot.rms_spot_radius())

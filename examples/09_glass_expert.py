@@ -8,7 +8,7 @@ from optiland_tpu.models import CookeTriplet
 from optiland_tpu.optimization import GlassExpert, OptimizationProblem
 
 
-def main():
+def main(maxiter: int = 15):
     lens = CookeTriplet()
     p = OptimizationProblem(lens)
     p.add_operand(operand_type="f2", target=50, weight=1)
@@ -23,7 +23,7 @@ def main():
                      glass_selection=["F2", "N-SF5", "SF11", "N-BK7",
                                       "LAK9", "SF2"],
                      pool_size=4, verbose=False)
-    ge.optimize(maxiter=15, disp=False)
+    ge.optimize(maxiter=maxiter, disp=False)
     after = float(np.asarray(p.sum_squared()))
     print(f"merit {before:.5e} -> {after:.5e}")
     return after

@@ -33,7 +33,7 @@ def main():
     asph = AsphericSinglet()
     hist = asph.trace(Hx=0.0, Hy=0.0, num_rays=32)
     x, y = np.asarray(hist.x[-1]), np.asarray(hist.y[-1])
-    print(f"aspheric singlet rms spot = {np.hypot(x, y).std():.3e} mm")
+    print(f"aspheric singlet rms spot = {np.sqrt(np.mean((x - x.mean())**2 + (y - y.mean())**2)):.3e} mm")
 
     lens = freeform_singlet()
     static, params = lens.build()

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from optiland_tpu.models import CookeTriplet
-from optiland_tpu.parallel import make_mesh, ray_sharding, shard_rays
+from optiland_tpu.parallel import make_mesh, shard_rays
 from optiland_tpu.trace.tracer import trace_system_final
 
 

@@ -369,6 +369,54 @@ class Optic:
         self.pickups.apply()
         self.solves.apply()
 
+    # -- per-surface edits (reference `optic/optic_updater.py:38-160`,
+    #    re-exported on the facade as in `optic/optic.py:350-446`) ----------
+    def set_radius(self, value: float, surface_number: int):
+        """Set the radius of curvature of surface `surface_number`."""
+        self.surfaces.specs[surface_number].radius = float(value)
+        self._dirty()
+
+    def set_conic(self, value: float, surface_number: int):
+        """Set the conic constant of surface `surface_number`."""
+        self.surfaces.specs[surface_number].conic = float(value)
+        self._dirty()
+
+    def set_thickness(self, value: float, surface_number: int):
+        """Set the gap thickness AFTER surface `surface_number`."""
+        self.surfaces.specs[surface_number].thickness = float(value)
+        self._dirty()
+
+    def set_index(self, value: float, surface_number: int):
+        """Make the medium after surface `surface_number` an ideal material
+        of constant index `value`."""
+        from optiland_tpu.materials.catalog import resolve_material
+
+        self.surfaces.specs[surface_number].material = resolve_material(
+            float(value))
+        self._dirty()
+
+    def set_material(self, material, surface_number: int):
+        """Set the medium after surface `surface_number` (name string,
+        (name, manufacturer) tuple, number, or MaterialSpec)."""
+        from optiland_tpu.materials.catalog import MaterialSpec, \
+            resolve_material
+
+        if not isinstance(material, MaterialSpec):
+            material = resolve_material(material)
+        self.surfaces.specs[surface_number].material = material
+        self._dirty()
+
+    def set_asphere_coeff(self, value: float, surface_number: int,
+                          aspher_coeff_idx: int):
+        """Set one polynomial coefficient of an asphere surface."""
+        s = self.surfaces.specs[surface_number]
+        c = list(s.coefficients)
+        while len(c) <= aspher_coeff_idx:
+            c.append(0.0)
+        c[aspher_coeff_idx] = float(value)
+        s.coefficients = tuple(c)
+        self._dirty()
+
     # -- system-level edits (reference `optic/optic_updater.py:24-340`) -----
     def scale_system(self, scale_factor: float):
         """Scale every length in the prescription (radii, thicknesses,

@@ -179,6 +179,14 @@ class SystemStatic:
     # per-surface aux for tabulated phase: None, or ("grid", gy, gx), or
     # ("height", gy, gx, mat_formula, mat_n_coeffs)
     phase_aux: tuple = ()
+    # build-time measured guard for the fused kernel's Newton cap: True iff
+    # every asphere's conic-seeded 2-iteration f32 Newton (the kernel's
+    # `_NEWTON_FUSED_MAX` override of `newton_iters`) lands within f32
+    # round-off of the fully-converged f64 root over the surface's clear
+    # aperture (see `_fused_newton_seed_ok`). When False, `supports_fused`
+    # rejects the system and the XLA path (full `newton_iters`) runs — the
+    # cap can never silently degrade a steep asphere (VERDICT r4 item 10)
+    fused_newton_ok: bool = True
 
     @property
     def surface_indices(self):
@@ -341,6 +349,89 @@ def _pack_geometry(s: SurfaceSpec):
     if geom == GEOM_NURBS:
         return _pack_nurbs(s, gp)
     raise ValueError(f"Unhandled geometry {s.geometry!r}")
+
+
+def _fused_newton_seed_ok(code, cvk, conic_k, coeffs, r_max) -> bool:
+    """Measure whether the fused kernel's capped Newton converges for this
+    asphere (host-side, at build time).
+
+    Simulates the kernel's exact intersection path in float32 — closed-form
+    conic seed, then `_NEWTON_FUSED_MAX`(=2)+1 Newton steps — on a fan of
+    oblique rays covering the clear aperture (heights to `r_max`, incidence
+    to 35 deg), and compares the root against a 48-iteration float64 Newton.
+    Returns False when the capped f32 root misses the converged root by more
+    than ~1e-4 of the aperture scale — i.e. the asphere is steep enough that
+    the conic seed + quadratic convergence argument (fused.py:88-95) does
+    not hold and the XLA path's full `newton_iters` must be used."""
+    n_c = len(coeffs)
+    kk = 1.0 + conic_k
+
+    def sag_grad(x, dtype):
+        x = x.astype(dtype)
+        r2 = x * x
+        m = np.maximum(1.0 - kk * cvk * cvk * r2, 1e-12)
+        root = np.sqrt(m)
+        s_val = cvk * r2 / (1.0 + root)
+        g = cvk / root  # d(sag)/d(r2) * 2 ... applied as x * g below
+        if code == GEOM_EVEN_ASPHERE:
+            rp = r2.copy()
+            rp0 = np.ones_like(r2)
+            for ci in range(n_c):
+                s_val = s_val + coeffs[ci] * rp
+                g = g + 2.0 * (ci + 1) * coeffs[ci] * rp0
+                rp = rp * r2
+                rp0 = rp0 * r2
+            return s_val, x * g
+        r = np.sqrt(np.maximum(r2, 1e-12))
+        godd = np.zeros_like(r)
+        rpow = r.copy()
+        rpow0 = np.ones_like(r)
+        for ci in range(n_c):
+            s_val = s_val + coeffs[ci] * rpow
+            godd = godd + (ci + 1) * coeffs[ci] * rpow0
+            rpow = rpow * r
+            rpow0 = rpow0 * r
+        return s_val, x * g + (x / r) * godd
+
+    heights = np.linspace(-r_max, r_max, 17)
+    angles = np.deg2rad(np.linspace(-35.0, 35.0, 9))
+    X0, A = [a.ravel() for a in np.meshgrid(heights, angles)]
+    L = np.sin(A)
+    N = np.cos(A)
+    z0 = -(abs(float(sag_grad(np.asarray([r_max]), np.float64)[0][0])) + 1.0)
+    z = np.full_like(X0, z0)
+
+    def newton(t, iters, dtype):
+        t = t.astype(dtype)
+        for _ in range(iters):
+            xt = (X0 + t * L).astype(dtype)
+            zt = (z + t * N).astype(dtype)
+            s_val, gx = sag_grad(xt, dtype)
+            f = s_val - zt
+            fp = gx * L - N
+            fp = np.where(np.abs(fp) > 1e-12, fp, 1e-12)
+            t = (t - f / fp).astype(dtype)
+        return t
+
+    # the kernel's conic closed-form seed (curvature form, vertex root)
+    Aq = cvk * (L * L + kk * N * N)
+    Bq = 2.0 * (cvk * (L * X0 + kk * N * z) - N)
+    Cq = cvk * (X0 * X0 + kk * z * z) - 2.0 * z
+    disc = np.maximum(Bq * Bq - 4.0 * Aq * Cq, 0.0)
+    sq = np.sqrt(disc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (-Bq + sq) / (2.0 * Aq)
+        t2 = (-Bq - sq) / (2.0 * Aq)
+        tq = np.where(np.abs(z + t1 * N) <= np.abs(z + t2 * N), t1, t2)
+        seed = np.where(np.abs(Aq) > 1e-12, tq, -Cq / np.where(
+            np.abs(Bq) > 1e-12, Bq, 1e-12))
+    t_fused = newton(seed.astype(np.float32), 3, np.float32)
+    t_true = newton(seed, 48, np.float64)
+    ok = np.isfinite(t_true)
+    if not ok.any():
+        return True
+    err = np.abs(t_fused.astype(np.float64) - t_true)[ok]
+    return bool(np.max(err) <= 1e-4 * max(1.0, r_max))
 
 
 def _forbes_norm_radius(gp: dict, s: SurfaceSpec) -> float:
@@ -639,6 +730,31 @@ def build_system(
                 z = cs_pos[idx, 2]
             z += thickness[idx] if np.isfinite(thickness[idx]) else 0.0
 
+    # measured Newton-cap guard for the fused kernel (VERDICT r4 item 10):
+    # verify the conic seed + 2 f32 Newton steps converge on every asphere
+    # over its clear aperture; on failure the fused path is disabled and the
+    # XLA trace (full `newton_iters`) runs instead.
+    fused_newton_ok = True
+    for idx in range(S):
+        if (geom_codes[idx] in (GEOM_EVEN_ASPHERE, GEOM_ODD_ASPHERE)
+                and geom_n_coeffs[idx]):
+            if np.isfinite(ap_radius[idx]):
+                r_max = float(ap_radius[idx])
+            elif aperture_type == "EPD":
+                r_max = 0.75 * float(aperture_value)
+            else:
+                r_max = 10.0
+            cvk = float(cv[idx])
+            kk = 1.0 + float(conic[idx])
+            if cvk != 0.0 and kk > 0.0:
+                r_max = min(r_max, 0.9 / (abs(cvk) * np.sqrt(kk)))
+            if not _fused_newton_seed_ok(
+                    geom_codes[idx], cvk, float(conic[idx]),
+                    [float(c) for c in coeffs[idx][:geom_n_coeffs[idx]]],
+                    r_max):
+                fused_newton_ok = False
+                break
+
     static = SystemStatic(
         num_surfaces=S,
         geom_codes=tuple(geom_codes),
@@ -670,6 +786,7 @@ def build_system(
         thin_films=tuple(thin_films),
         has_vignetting=any(float(v) != 0.0 for v in list(vx) + list(vy)),
         phase_aux=tuple(phase_aux),
+        fused_newton_ok=fused_newton_ok,
     )
     gy_max = max([0] + [g.shape[0] for g in phase_grid_list if g is not None])
     gx_max = max([0] + [g.shape[1] for g in phase_grid_list if g is not None])

@@ -115,9 +115,13 @@ def _mosaic_ok(rays0) -> bool:
 
 
 def supports_fused(static: SystemStatic) -> bool:
-    """Whether the fused kernel covers this system class."""
+    """Whether the fused kernel covers this system class. Includes the
+    build-time measured Newton-cap guard (`spec._fused_newton_seed_ok`):
+    a steep asphere whose conic seed does not converge under the kernel's
+    `_NEWTON_FUSED_MAX` cap falls back to the XLA path."""
     return (
-        not static.has_abs_cs
+        static.fused_newton_ok
+        and not static.has_abs_cs
         and all(g in _SUPPORTED_GEOMS for g in static.geom_codes)
         and all(i in _SUPPORTED_INTERACTIONS for i in static.interactions)
         and all(pk in _ANALYTIC_PHASE for pk in static.phase_kinds)
@@ -1389,13 +1393,17 @@ def trace_history_fused(static: SystemStatic, params: SystemParams, rays0,
 # directly — no seeds ever materialize.
 
 
-def _row_mask(static_n, gidx, tr, j, dtype):
-    """Float validity mask for the (SUB, LANE) chunk at grid step `gidx`,
+def _row_mask(static_n, gidx, tr, j, dtype, sub=None):
+    """Float validity mask for the (sub, LANE) chunk at grid step `gidx`,
     chunk `j`: 1.0 where the flattened ray index < n (padded rays must not
-    contribute to the moment sums)."""
-    row0 = gidx * tr + j * _SUB
-    rows = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 0)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _LANE), 1)
+    contribute to the moment sums). `sub` is the caller's row-chunk size
+    (forward `_SUB` / backward `_SUB_BWD`) — passed explicitly so the
+    backward chunking can be tuned independently of the forward's."""
+    if sub is None:
+        sub = _SUB
+    row0 = gidx * tr + j * sub
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sub, _LANE), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (sub, _LANE), 1)
     idx = (row0 + rows) * _LANE + lanes
     return (idx < static_n).astype(dtype)
 
@@ -1524,7 +1532,7 @@ def _moments_bwd(static, interpret, uniform_w, res, g):
         acc = None
         for j in range(max(_TR_BWD // _SUB_BWD, 1)):
             sl = slice(j * _SUB_BWD, (j + 1) * _SUB_BWD)
-            mask = _row_mask(n, gidx, _TR_BWD, j, dtype)
+            mask = _row_mask(n, gidx, _TR_BWD, j, dtype, sub=_SUB_BWD)
 
             def f(rg_v, Hx_t, Hy_t, Px_t, Py_t, w_tile, *dp):
                 rays8 = _tile_raygen(static, rg_v, Hx_t, Hy_t, Px_t, Py_t)

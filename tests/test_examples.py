@@ -29,6 +29,7 @@ def _run(name, **kwargs):
     ("06_polarization_coatings", {}),
     ("07_thin_films", {}),
     ("08_optimization", {}),
+    ("09_glass_expert", {"maxiter": 2}),
     ("10_tolerancing", {"draws": 16}),
     ("11_aspheres_freeforms", {}),
     ("12_multiconfig_zoom", {}),

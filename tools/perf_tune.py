@@ -11,19 +11,26 @@ Usage: python tools/perf_tune.py [fwd|fwdbwd]
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np  # noqa: E402
 
 CONFIGS = [
     # label, overrides on optiland_tpu.trace.fused
     ("base  TRB=64 SUB=32/32", {}),
-    ("TRB=128 SUB=32/32", {"_TR_BWD": 128}),
-    ("TRB=256 SUB=32/32", {"_TR_BWD": 256}),
-    ("TRB=128 FWD TRF=256", {"_TR_BWD": 128, "_TR_FWD": 256}),
+    ("TRB=64  SUBB=16", {"_SUB_BWD": 16}),
+    ("TRB=64  SUBB=8", {"_SUB_BWD": 8}),
+    ("TRB=64  SUBB=64", {"_SUB_BWD": 64}),
+    ("TRB=128 SUBB=32", {"_TR_BWD": 128}),
+    ("TRB=128 SUBB=16", {"_TR_BWD": 128, "_SUB_BWD": 16}),
+    ("TRB=128 SUBB=64", {"_TR_BWD": 128, "_SUB_BWD": 64}),
+    ("TRB=256 SUBB=32", {"_TR_BWD": 256}),
+    ("TRB=256 SUBB=64", {"_TR_BWD": 256, "_SUB_BWD": 64}),
+    ("TRB=32  SUBB=32", {"_TR_BWD": 32}),
 ]
 
 
@@ -69,7 +76,11 @@ def main():
             return acc
         return jax.jit(f)
 
-    K1, K2, REPS = 2, 8, 5
+    K1, K2 = 2, 8
+    # many interleaved reps: min-of-N is only a consistent estimator of the
+    # per-config quiet-window time if N spans several tenant-drift windows
+    # (PERF.md round-4: REPS=5 produced contradictory rankings)
+    REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     use_grad = mode == "fwdbwd"
 
     defaults = {k: getattr(fused, k)
