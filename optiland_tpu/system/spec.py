@@ -179,6 +179,11 @@ class SystemStatic:
     # per-surface aux for tabulated phase: None, or ("grid", gy, gx), or
     # ("height", gy, gx, mat_formula, mat_n_coeffs)
     phase_aux: tuple = ()
+    # phase-grid / height-profile interpolation order: "cubic" matches the
+    # reference's numpy backend (scipy RectBivariateSpline,
+    # `phase/interpolators.py:22-70`); "linear" matches its torch
+    # `grid_sample` path and is the cheaper TPU variant
+    phase_interp: str = "cubic"
     # build-time measured guard for the fused kernel's Newton cap: True iff
     # every asphere's conic-seeded 2-iteration f32 Newton (the kernel's
     # `_NEWTON_FUSED_MAX` override of `newton_iters`) lands within f32
@@ -508,6 +513,7 @@ def build_system(
     apodization=None,
     newton_iters: int = 16,
     telecentric: bool = False,
+    phase_interp: str = "cubic",
     dtype=None,
 ) -> tuple[SystemStatic, SystemParams]:
     """Compile builder state into the (static, params) pair."""
@@ -781,6 +787,7 @@ def build_system(
         primary_wavelength_idx=primary_wavelength_idx,
         apodization=apodization,
         newton_iters=newton_iters,
+        phase_interp=phase_interp,
         telecentric=telecentric,
         aperture_masks=tuple(aperture_masks),
         thin_films=tuple(thin_films),

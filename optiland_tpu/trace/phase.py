@@ -3,10 +3,11 @@ engine.
 
 Covers the reference's five phase profiles
 (`optiland/phase/{constant,radial,linear_grating,grid,height_profile}.py`):
-analytic kinds plus tabulated grids with differentiable bilinear
-interpolation (the JAX analogue of the reference's torch `grid_sample`
-path, `phase/interpolators.py:75-121`; the reference's numpy path uses a
-cubic spline — agreement is to interpolation order on smooth tables).
+analytic kinds plus tabulated grids with differentiable interpolation:
+bicubic-spline by default (exact semantics of the reference's numpy path,
+scipy RectBivariateSpline via `core/interpolation.py`) or bilinear
+(`phase_interp="linear"`, the reference's torch `grid_sample` order and
+the cheaper TPU variant).
 Height profiles convert a height map and a dispersive material into phase:
 phi(x, y, λ) = 2π/(λ·1e-3) · (n(λ) − 1) · h(x, y)
 (`phase/height_profile.py:62-82`; λ in µm, heights/lengths in mm).
@@ -83,14 +84,27 @@ def phase_value_grad(static, params, k, x, y, w):
         return p[0] * x + p[1] * y, p[0] + 0.0 * x, p[1] + 0.0 * y
     if kind == PHASE_GRID:
         aux = static.phase_aux[k]
-        return grid_bilinear(params.phase_grids[k], p, aux[1], aux[2], x, y)
+        return _grid_sample(static, params.phase_grids[k], p, aux[1],
+                            aux[2], x, y)
     if kind == PHASE_HEIGHT:
         aux = static.phase_aux[k]
-        h, dhx, dhy = grid_bilinear(params.phase_grids[k], p, aux[1], aux[2],
-                                    x, y)
+        h, dhx, dhy = _grid_sample(static, params.phase_grids[k], p, aux[1],
+                                   aux[2], x, y)
         f = _height_factor(static, params, k, w)
         return f * h, f * dhx, f * dhy
     raise ValueError(f"Unknown phase kind {kind}")
+
+
+def _grid_sample(static, grid, bounds, gy, gx, x, y):
+    """Dispatch on the build-time interpolation order: "cubic" is the
+    reference-parity default (scipy RectBivariateSpline semantics, matched
+    to ~1e-9 by `core/interpolation.py`); "linear" is the reference's torch
+    `grid_sample` order and the cheaper TPU path."""
+    if static.phase_interp == "linear":
+        return grid_bilinear(grid, bounds, gy, gx, x, y)
+    from optiland_tpu.core.interpolation import grid_cubic
+
+    return grid_cubic(grid, bounds, gy, gx, x, y)
 
 
 def paraxial_phase_gradient(static, params, k, y, w):

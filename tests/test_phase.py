@@ -320,3 +320,122 @@ def test_grid_phase_differentiable():
     gg = np.asarray(gr.phase_grids)
     assert np.all(np.isfinite(gg))
     assert np.abs(gg).max() > 0
+
+
+def test_grid_phase_cubic_matches_scipy_interpolator(reference):
+    """Default cubic interpolation reproduces the reference's numpy-backend
+    GridInterpolator (scipy RectBivariateSpline) to 1e-9 on a smooth,
+    non-bilinear table — the VERDICT r4 item-7 tightening from
+    order-of-interpolation tolerances to spline-exact parity."""
+    import jax.numpy as jnp
+
+    import optiland.backend as be
+    from optiland.phase.interpolators import GridInterpolator
+
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.trace.phase import phase_value_grad
+
+    be.set_backend("numpy")
+    xs, ys, grid = _mk_grid(lambda x, y: np.sin(0.8 * x) * np.cos(0.6 * y)
+                            + 0.05 * x * y * y, nx=21, ny=17, lim=2.5)
+    ref = GridInterpolator(be.array(xs), be.array(ys), be.array(grid))
+
+    g = Optic()
+    g.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    g.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                  surface_type="phase",
+                  phase_profile=("grid", xs, ys, grid))
+    g.add_surface(index=2)
+    g.set_aperture("EPD", 2.0)
+    g.add_wavelength(0.55)
+    static, params = g.build()
+    assert static.phase_interp == "cubic"
+
+    rng = np.random.default_rng(0)
+    xq = rng.uniform(-2.4, 2.4, 120)
+    yq = rng.uniform(-2.4, 2.4, 120)
+    val, gx, gy = phase_value_grad(static, params, 1, jnp.asarray(xq),
+                                   jnp.asarray(yq), 0.55)
+    want = np.asarray(ref.height(be.array(xq), be.array(yq)))
+    want_gx, want_gy = (np.asarray(a) for a in
+                        ref.gradient(be.array(xq), be.array(yq)))
+    np.testing.assert_allclose(np.asarray(val), want, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gx), want_gx, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gy), want_gy, atol=1e-9)
+
+
+def test_grid_phase_trace_parity_cubic(reference):
+    """End-to-end trace through a SMOOTH (non-bilinear) grid phase matches
+    the reference numpy backend (cubic spline) to 1e-8 — previously only
+    bilinear-exact tables could match."""
+    from optiland.phase.grid import GridPhaseProfile
+
+    from optiland_tpu.system.optic import Optic
+
+    wl = 0.55
+    k0 = 2 * np.pi / (wl * 1e-3)
+    fn = lambda x, y: 0.05 * k0 * np.sin(0.4 * x) + 0.03 * k0 * y * y  # noqa: E731
+    xs, ys, grid = _mk_grid(fn, lim=3.0)
+
+    import optiland.backend as be
+
+    be.set_backend("numpy")
+    from optiland.optic import Optic as RefOptic
+    ref = RefOptic()
+    ref.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    ref.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                    phase_profile=GridPhaseProfile(
+                        be.array(xs), be.array(ys), be.array(grid)))
+    ref.add_surface(index=2)
+    ref.set_aperture(aperture_type="EPD", value=4.0)
+    ref.set_field_type("angle")
+    ref.add_field(y=0)
+    ref.add_wavelength(value=wl, is_primary=True)
+
+    got = Optic()
+    got.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    got.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                    surface_type="phase",
+                    phase_profile=("grid", xs, ys, grid))
+    got.add_surface(index=2)
+    got.set_aperture("EPD", 4.0)
+    got.set_field_type("angle")
+    got.add_field(y=0)
+    got.add_wavelength(wl)
+
+    r = ref.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5,
+                  distribution="hexapolar")
+    h = got.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5)
+    np.testing.assert_allclose(np.asarray(h.y[-1]), np.asarray(r.y),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(h.M[-1]), np.asarray(r.M),
+                               atol=1e-10)
+
+
+def test_grid_phase_linear_option():
+    """phase_interp='linear' keeps the bilinear fast path selectable."""
+    import jax.numpy as jnp
+
+    from optiland_tpu.system.spec import build_system
+    from optiland_tpu.system.optic import Optic
+    from optiland_tpu.trace.phase import phase_value_grad
+
+    xs, ys, grid = _mk_grid(lambda x, y: x * x + y, nx=9, ny=9, lim=2.0)
+    g = Optic()
+    g.add_surface(index=0, radius=np.inf, thickness=np.inf)
+    g.add_surface(index=1, radius=np.inf, thickness=10.0, is_stop=True,
+                  surface_type="phase",
+                  phase_profile=("grid", xs, ys, grid))
+    g.add_surface(index=2)
+    g.set_aperture("EPD", 2.0)
+    g.add_wavelength(0.55)
+    static, params = build_system(
+        g.surfaces.specs, field_type="angle", x_fields=[0.0], y_fields=[0.0],
+        vx=[0.0], vy=[0.0], aperture_type="EPD", aperture_value=2.0,
+        wavelengths=[0.55], primary_wavelength_idx=0, phase_interp="linear")
+    assert static.phase_interp == "linear"
+    # bilinear is exact at cell centers of a bilinear function per cell;
+    # check node-exactness as the distinguishing property
+    val, _, _ = phase_value_grad(static, params, 1, jnp.asarray([xs[3]]),
+                                 jnp.asarray([ys[5]]), 0.55)
+    np.testing.assert_allclose(float(val[0]), grid[5, 3], atol=1e-12)
