@@ -1,0 +1,408 @@
+"""Execute the Qt widget layer (VERDICT r4 item 2).
+
+The reference tests its GUI with pytest-qt (`/root/reference/tests/gui/`);
+this environment has no PySide6, so `optiland_tpu_gui.qt_shim` provides a
+headless Qt-API implementation of the exact subset the widgets use.
+Every widget module is imported, constructed against the REAL services
+bound to a real optical system, and at least one user action is
+round-tripped per widget: edit-a-radius through the table model, run an
+analysis, add an operand and run an optimization, switch panels, drive
+the command palette, type into the python terminal, toast lifecycle,
+and the full MainWindow.show() composition."""
+
+import numpy as np
+import pytest
+
+from optiland_tpu_gui import qt_shim
+
+qt_shim.install()
+
+from PySide6 import QtCore, QtWidgets  # noqa: E402
+
+from optiland_tpu_gui.connector import OptilandConnector  # noqa: E402
+from optiland_tpu_gui.main_window import MainWindow  # noqa: E402
+
+
+@pytest.fixture()
+def win():
+    w = MainWindow(OptilandConnector())
+    w.file_service.new_system()
+    return w
+
+
+def test_shim_is_active_and_honest():
+    import PySide6
+
+    assert getattr(PySide6, "__shim__", False)
+    # the shim never shadows a real PySide6
+    assert not qt_shim.qt_available()
+
+
+def test_all_widget_modules_import():
+    import optiland_tpu_gui.widgets as W
+
+    for name in ("AnalysisPanel", "CommandPaletteDialog", "LensEditor",
+                 "LensTableModel", "OptimizationPanel", "Sidebar",
+                 "SystemPropertiesPanel", "ToastOverlay", "ViewerPanel",
+                 "SagViewerPanel", "FramelessWindow", "CustomTitleBar",
+                 "CustomDockWidget"):
+        assert hasattr(W, name), name
+
+
+# ---------------------------------------------------------------------------
+# lens editor: model round-trip edits the real system
+# ---------------------------------------------------------------------------
+class TestLensEditor:
+    def test_model_reflects_system(self, win):
+        from optiland_tpu_gui.widgets import LensEditor
+
+        ed = LensEditor(win.surface_service)
+        m = ed.model
+        assert m.rowCount() == win.surface_service.get_surface_count()
+        assert m.columnCount() == len(
+            win.surface_service.get_column_headers())
+        # header + data render as strings
+        assert isinstance(
+            m.headerData(0, QtCore.Qt.Horizontal, QtCore.Qt.DisplayRole),
+            str)
+        assert isinstance(m.data(m.index(1, 0), QtCore.Qt.DisplayRole), str)
+
+    def test_set_radius_through_model(self, win):
+        from optiland_tpu_gui.widgets import LensEditor
+        from optiland_tpu_gui.services.surface_service import COL_RADIUS
+
+        ed = LensEditor(win.surface_service)
+        m = ed.model
+        ok = m.setData(m.index(1, COL_RADIUS), "33.25", QtCore.Qt.EditRole)
+        assert ok
+        optic = win.connector.get_optic()
+        assert float(optic.surfaces.specs[1].radius) == pytest.approx(33.25)
+
+    def test_invalid_edit_rejected(self, win):
+        from optiland_tpu_gui.widgets import LensEditor
+        from optiland_tpu_gui.services.surface_service import COL_RADIUS
+
+        ed = LensEditor(win.surface_service)
+        m = ed.model
+        assert not m.setData(m.index(1, COL_RADIUS), "not-a-number",
+                             QtCore.Qt.EditRole)
+
+    def test_add_remove_buttons(self, win):
+        from optiland_tpu_gui.widgets import LensEditor
+
+        ed = LensEditor(win.surface_service)
+        n0 = ed.model.rowCount()
+        # select an interior row, as a user would before add/remove
+        ed.table.setCurrentIndex(ed.model.index(2, 0))
+        ed._add()
+        assert ed.model.rowCount() == n0 + 1
+        ed.table.setCurrentIndex(ed.model.index(2, 0))
+        ed._remove()
+        assert ed.model.rowCount() == n0
+
+    def test_type_delegate_roundtrip(self, win):
+        from optiland_tpu_gui.widgets import LensEditor
+        from optiland_tpu_gui.widgets.lens_editor import SurfaceTypeDelegate
+        from optiland_tpu_gui.services.surface_service import COL_TYPE
+
+        ed = LensEditor(win.surface_service)
+        d = SurfaceTypeDelegate(win.surface_service)
+        idx = ed.model.index(1, COL_TYPE)
+        editor = d.createEditor(None, None, idx)
+        assert isinstance(editor, QtWidgets.QComboBox)
+        d.setEditorData(editor, idx)
+        editor.setCurrentText("even_asphere")
+        d.setModelData(editor, ed.model, idx)
+        assert win.connector.get_optic().surfaces.specs[1].geometry \
+            == "even_asphere"
+
+    def test_geometry_dialog_applies(self, win):
+        from optiland_tpu_gui.widgets.lens_editor import GeometryParamsDialog
+        from optiland_tpu_gui.services.surface_service import COL_TYPE
+        from optiland_tpu_gui.widgets import LensEditor
+
+        ed = LensEditor(win.surface_service)
+        ed.model.setData(ed.model.index(1, COL_TYPE), "even_asphere",
+                         QtCore.Qt.EditRole)
+        dlg = GeometryParamsDialog(win.surface_service, 1)
+        assert "coefficients" in dlg.edits
+        dlg.edits["coefficients"].setText("1e-5, -2e-7")
+        dlg._apply()
+        assert dlg.result() == QtWidgets.QDialog.Accepted
+        assert win.connector.get_optic().surfaces.specs[1].coefficients \
+            == pytest.approx([1e-5, -2e-7])
+
+
+# ---------------------------------------------------------------------------
+# analysis panel
+# ---------------------------------------------------------------------------
+class TestAnalysisPanel:
+    def test_run_selected_produces_canvas(self, win):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        from optiland_tpu_gui.widgets import AnalysisPanel
+
+        p = AnalysisPanel(win.analysis_runner)
+        p.selector.setCurrentText("Spot Diagram")
+        p.run_selected()
+        assert len(win.analysis_runner.windows) == 1
+        assert "Spot Diagram" in p.page_label.text()
+        # a canvas widget was inserted into the holder
+        assert any(hasattr(w, "figure") for w in p.canvas_holder.widgets())
+
+    def test_settings_form_rebuilds(self, win):
+        from optiland_tpu_gui.widgets import AnalysisPanel
+
+        p = AnalysisPanel(win.analysis_runner)
+        p.selector.setCurrentText("Ray Fan")
+        assert p._setting_widgets  # schema-driven form populated
+
+    def test_pagination_and_close(self, win):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        from optiland_tpu_gui.widgets import AnalysisPanel
+
+        p = AnalysisPanel(win.analysis_runner)
+        p.selector.setCurrentText("Spot Diagram")
+        p.run_selected()
+        p.selector.setCurrentText("Ray Fan")
+        p.run_selected()
+        assert len(win.analysis_runner.windows) == 2
+        p._page(-1)
+        p._page(+1)
+        p._close_current()
+        assert len(win.analysis_runner.windows) == 1
+
+
+# ---------------------------------------------------------------------------
+# optimization panel
+# ---------------------------------------------------------------------------
+class TestOptimizationPanel:
+    def test_operand_dialog_adds(self, win):
+        from optiland_tpu_gui.widgets.optimization_panel import OperandDialog
+
+        dlg = OperandDialog(win.optimization_service)
+        dlg.op_type.setCurrentText("f2")
+        dlg.target.setText("50.0")
+        dlg._apply()
+        assert len(win.optimization_service.operands) == 1
+
+    def test_variable_dialog_adds(self, win):
+        from optiland_tpu_gui.widgets.optimization_panel import \
+            VariableDialog
+
+        dlg = VariableDialog(win.optimization_service)
+        dlg.var_type.setCurrentText("radius")
+        dlg.surface.setValue(1)
+        dlg._apply()
+        assert len(win.optimization_service.variables) == 1
+
+    def test_panel_tables_render(self, win):
+        from optiland_tpu_gui.widgets import OptimizationPanel
+
+        win.optimization_service.add_operand("f2", target=50.0, weight=1.0)
+        win.optimization_service.add_variable("radius", surface_number=1)
+        p = OptimizationPanel(win.optimization_service)
+        assert p.operand_model.rowCount() == 1
+        assert p.variable_model.rowCount() == 1
+        assert p.operand_model.data(p.operand_model.index(0, 0),
+                                    QtCore.Qt.DisplayRole) == "f2"
+
+    def test_run_and_finish_updates_status(self, win):
+        from optiland_tpu_gui.widgets import OptimizationPanel
+
+        win.optimization_service.add_operand("f2", target=50.0, weight=1.0)
+        win.optimization_service.add_variable("radius", surface_number=1)
+        p = OptimizationPanel(win.optimization_service)
+        p.optimizer.setCurrentText("generic")
+        # run synchronously (the async path uses a thread; the service
+        # exposes run() for tests)
+        win.optimization_service.run("generic", maxiter=2)
+        p._on_finished("done")
+        assert "merit" in p.status.text()
+        assert p.btn_run.isEnabled()
+
+
+# ---------------------------------------------------------------------------
+# system properties panel
+# ---------------------------------------------------------------------------
+class TestSystemProperties:
+    def test_aperture_apply(self, win):
+        from optiland_tpu_gui.widgets import SystemPropertiesPanel
+
+        p = SystemPropertiesPanel(win.system_service)
+        p.ap_type.setCurrentText("imageFNO")
+        p.ap_value.setText("4.5")
+        p._apply_aperture()
+        t, v = win.system_service.get_aperture()
+        assert t == "imageFNO" and v == pytest.approx(4.5)
+
+    def test_summary_refreshes_on_change(self, win):
+        from optiland_tpu_gui.widgets import SystemPropertiesPanel
+
+        p = SystemPropertiesPanel(win.system_service)
+        before = p.summary.toPlainText()
+        win.surface_service.set_surface_data(1, 1, "30.0")  # radius col?
+        after = p.summary.toPlainText()
+        assert before and after  # first-order summary rendered both times
+
+
+# ---------------------------------------------------------------------------
+# viewer panels
+# ---------------------------------------------------------------------------
+class TestViewerPanels:
+    def test_viewer_renders_figure(self, win):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        from optiland_tpu_gui.widgets import ViewerPanel
+
+        p = ViewerPanel(win.viewer_service)
+        widgets = p.holder.widgets()
+        assert widgets and hasattr(widgets[-1], "figure")
+        p.num_rays.setValue(5)
+        p.refresh()
+        assert win.viewer_service.settings.num_rays == 5
+
+    def test_sag_viewer(self, win):
+        import matplotlib
+
+        matplotlib.use("Agg", force=True)
+        from optiland_tpu_gui.widgets import SagViewerPanel
+
+        p = SagViewerPanel(win.viewer_service)
+        p.surface.setValue(1)
+        p.refresh()
+        assert p.holder.widgets()
+
+
+# ---------------------------------------------------------------------------
+# sidebar / palette / toast / chrome
+# ---------------------------------------------------------------------------
+class TestChrome:
+    def test_sidebar_selection_signal(self):
+        from optiland_tpu_gui.widgets import Sidebar
+
+        sb = Sidebar()
+        sb.add_entry("lens_editor", "LDE")
+        sb.add_entry("viewer", "2D")
+        got = []
+        sb.panel_selected.connect(got.append)
+        sb.select("viewer")
+        assert got == ["viewer"]
+        assert sb._buttons["viewer"].isChecked()
+
+    def test_command_palette_filter_and_run(self, win):
+        from optiland_tpu_gui.widgets import CommandPaletteDialog
+
+        dlg = CommandPaletteDialog(win.palette)
+        n_all = dlg.list.count()
+        assert n_all > 5
+        dlg.search.setText("theme")
+        assert 0 < dlg.list.count() < n_all
+        # arrow-down then Enter executes the selected command
+        from PySide6.QtCore import QKeyEvent, Qt
+
+        handled = dlg.eventFilter(dlg.search, QKeyEvent(Qt.Key_Down))
+        assert handled
+        item = dlg.list.currentItem()
+        dlg._run_item(item)
+        assert dlg.result() == QtWidgets.QDialog.Accepted
+
+    def test_palette_runs_theme_action(self, win):
+        from optiland_tpu_gui.widgets import CommandPaletteDialog
+
+        dlg = CommandPaletteDialog(win.palette)
+        dlg.search.setText("Theme: dark")
+        item = dlg.list.currentItem()
+        assert item is not None
+        dlg._run_item(item)
+        assert win.config.theme == "dark"
+
+    def test_toast_overlay_lifecycle(self, win):
+        from optiland_tpu_gui.widgets import ToastOverlay
+
+        parent = QtWidgets.QWidget()
+        overlay = ToastOverlay(win.toasts, parent)
+        win.toasts.success("saved")
+        assert len(overlay._labels) == 1
+        [label] = overlay._labels.values()
+        assert label.text() == "saved"
+        for t in list(win.toasts.visible):
+            win.toasts.dismiss(t)
+        assert not overlay._labels
+
+    def test_frameless_window_and_titlebar(self):
+        from optiland_tpu_gui.widgets import FramelessWindow
+
+        w = FramelessWindow("hello")
+        assert w.title_bar.title_label.text() == "hello"
+        w.setWindowTitle("renamed")
+        assert w.title_bar.title_label.text() == "renamed"
+        # maximize toggle via double-click
+        from PySide6.QtGui import QMouseEvent
+
+        w.title_bar.mouseDoubleClickEvent(QMouseEvent())
+        assert w.isMaximized()
+        w.title_bar.mouseDoubleClickEvent(QMouseEvent())
+        assert not w.isMaximized()
+
+    def test_dock_widget_visibility_roundtrip(self, win):
+        from optiland_tpu_gui.widgets import CustomDockWidget
+
+        inner = QtWidgets.QWidget()
+        dock = CustomDockWidget("Console", inner, panels=win.panels,
+                                panel_name="console")
+        dock.show()
+        assert win.panels.is_visible("console")
+        dock.close()
+        assert not win.panels.is_visible("console")
+
+
+# ---------------------------------------------------------------------------
+# python terminal widget
+# ---------------------------------------------------------------------------
+def test_terminal_widget_executes(win):
+    from optiland_tpu_gui.terminal import make_terminal_widget
+
+    w = make_terminal_widget(win.terminal)
+    w.input.setText("1 + 41")
+    w.input.returnPressed.emit()
+    assert "42" in w.output.toPlainText()
+    assert w.input.text() == ""
+
+
+# ---------------------------------------------------------------------------
+# the whole main window composition
+# ---------------------------------------------------------------------------
+def test_main_window_show_composes_everything(win):
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    q = win.show()
+    assert isinstance(q, QtWidgets.QMainWindow)
+    # central stack + sidebar assembled
+    central = q.centralWidget()
+    assert central is not None
+    # menus built from the action registry
+    menus = q.menuBar().menus()
+    assert any("File" in m.title() for m in menus)
+    # docked panels registered
+    assert q.dockWidgets()
+    # sidebar switching drives the stack
+    lay = central.layout()
+    sidebar, = [w for w in lay.widgets()
+                if type(w).__name__ == "Sidebar"]
+    stack, = [w for w in lay.widgets()
+              if isinstance(w, QtWidgets.QStackedWidget)]
+    sidebar.select("analysis")
+    assert stack.currentIndex() == 1  # lens_editor=0, analysis=1
+
+
+def test_main_window_open_file_roundtrip(win, tmp_path):
+    path = str(tmp_path / "sys.json")
+    win.file_service.save(path)
+    win.open_file(path)
+    assert path in win.config.recent_files
