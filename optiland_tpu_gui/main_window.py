@@ -103,6 +103,8 @@ class MainWindow:
             self.actions.register(
                 f"view.theme.{name}", f"Theme: {name}",
                 lambda n=name: self.set_theme(n), menu="&View")
+        self.actions.register("app.settings", "&Settings...",
+                              self.open_settings, menu="&Edit")
 
     # -- config-backed behaviors (headless-testable) ---------------------
     def set_theme(self, name: str) -> None:
@@ -113,6 +115,15 @@ class MainWindow:
     def open_file(self, path: str) -> None:
         self.file_service.open(path)
         self.config.add_recent_file(path)
+
+    def open_settings(self):
+        """Open the settings dialog (widget layer; works under the Qt
+        shim in headless tests)."""
+        from optiland_tpu_gui.widgets import SettingsDialog
+
+        dlg = SettingsDialog(self, self._qt)
+        dlg.exec()
+        return dlg
 
     # -- Qt side ---------------------------------------------------------
     def show(self):  # pragma: no cover - needs a display

@@ -22,6 +22,7 @@ class PanelState:
     name: str
     visible: bool = True
     order: int = 0
+    floating: bool = False
 
 
 @dataclass
@@ -62,6 +63,13 @@ class PanelManager:
         self.save()
         return p.visible
 
+    def is_floating(self, name: str) -> bool:
+        return self._panels[name].floating
+
+    def set_floating(self, name: str, floating: bool) -> None:
+        self._panels[name].floating = bool(floating)
+        self.save()
+
     def move(self, name: str, new_order: int) -> None:
         order = [n for n in self.names() if n != name]
         order.insert(max(0, min(new_order, len(order))), name)
@@ -74,7 +82,8 @@ class PanelManager:
         if self.config is None:
             return
         self.config.set("layout", {
-            n: {"visible": p.visible, "order": p.order}
+            n: {"visible": p.visible, "order": p.order,
+                "floating": p.floating}
             for n, p in self._panels.items()})
 
     def restore(self) -> None:
@@ -85,3 +94,4 @@ class PanelManager:
             if n in self._panels and isinstance(st, dict):
                 self._panels[n].visible = bool(st.get("visible", True))
                 self._panels[n].order = int(st.get("order", 0))
+                self._panels[n].floating = bool(st.get("floating", False))

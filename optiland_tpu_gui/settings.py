@@ -16,6 +16,8 @@ THEMES: dict[str, dict[str, str]] = {
         "text": "#e6e6e6",
         "accent": "#4f8cc9",
         "grid": "#3a3d41",
+        "hover": "#35383d",
+        "border": "#44474d",
     },
     "light": {
         "window_bg": "#f4f4f5",
@@ -23,20 +25,83 @@ THEMES: dict[str, dict[str, str]] = {
         "text": "#1b1b1f",
         "accent": "#2d6cdf",
         "grid": "#d4d4d8",
+        "hover": "#e8e8ea",
+        "border": "#c9c9cd",
+    },
+    "midnight": {
+        "window_bg": "#0b0d12",
+        "panel_bg": "#14171e",
+        "text": "#d8dce6",
+        "accent": "#62b0ff",
+        "grid": "#23262e",
+        "hover": "#1b1f28",
+        "border": "#2c313c",
+    },
+    "solarized_light": {
+        "window_bg": "#fdf6e3",
+        "panel_bg": "#eee8d5",
+        "text": "#586e75",
+        "accent": "#268bd2",
+        "grid": "#d9d2c0",
+        "hover": "#f3edda",
+        "border": "#cfc8b5",
+    },
+    "solarized_dark": {
+        "window_bg": "#002b36",
+        "panel_bg": "#073642",
+        "text": "#93a1a1",
+        "accent": "#2aa198",
+        "grid": "#0d4351",
+        "hover": "#0a3d4a",
+        "border": "#134e5e",
     },
 }
 
 
 def stylesheet(theme: str) -> str:
-    """Qt stylesheet for a theme name (unknown names fall back to dark)."""
+    """Full Qt stylesheet for a theme name (unknown names fall back to
+    dark) — the compact analogue of the reference's QSS resource tree
+    (`optiland_gui/resources/*.qss`), generated from the palette so every
+    theme stays consistent across widget classes."""
     t = THEMES.get(theme, THEMES["dark"])
-    return (
-        f"QMainWindow, QDialog {{ background: {t['window_bg']}; }}\n"
-        f"QWidget {{ background: {t['panel_bg']}; color: {t['text']}; }}\n"
-        f"QPushButton {{ background: {t['accent']}; color: white; "
-        "padding: 4px 10px; border-radius: 3px; }\n"
-        f"QTableView {{ gridline-color: {t['grid']}; }}\n"
-    )
+    return f"""
+QMainWindow, QDialog {{ background: {t['window_bg']}; }}
+QWidget {{ background: {t['panel_bg']}; color: {t['text']}; }}
+QMenuBar, QMenu {{ background: {t['window_bg']}; color: {t['text']}; }}
+QMenu::item:selected, QMenuBar::item:selected {{ background: {t['hover']}; }}
+QPushButton {{ background: {t['accent']}; color: white;
+    padding: 4px 10px; border-radius: 3px; border: none; }}
+QPushButton:hover {{ background: {t['hover']}; color: {t['text']}; }}
+QPushButton:disabled {{ background: {t['grid']}; color: {t['border']}; }}
+QToolButton {{ background: transparent; color: {t['text']};
+    border-radius: 3px; }}
+QToolButton:checked {{ background: {t['accent']}; color: white; }}
+QLineEdit, QPlainTextEdit, QTextEdit, QSpinBox, QDoubleSpinBox,
+QComboBox {{ background: {t['window_bg']}; color: {t['text']};
+    border: 1px solid {t['border']}; border-radius: 3px; padding: 2px; }}
+QComboBox QAbstractItemView {{ background: {t['panel_bg']};
+    color: {t['text']}; selection-background-color: {t['accent']}; }}
+QTableView {{ background: {t['window_bg']}; alternate-background-color:
+    {t['panel_bg']}; gridline-color: {t['grid']}; color: {t['text']};
+    selection-background-color: {t['accent']}; }}
+QHeaderView::section {{ background: {t['panel_bg']}; color: {t['text']};
+    border: 1px solid {t['grid']}; padding: 3px; }}
+QTabWidget::pane {{ border: 1px solid {t['border']}; }}
+QTabBar::tab {{ background: {t['panel_bg']}; color: {t['text']};
+    padding: 5px 12px; }}
+QTabBar::tab:selected {{ background: {t['accent']}; color: white; }}
+QDockWidget {{ titlebar-close-icon: none; color: {t['text']}; }}
+QGroupBox {{ border: 1px solid {t['border']}; border-radius: 4px;
+    margin-top: 8px; color: {t['text']}; }}
+QGroupBox::title {{ subcontrol-origin: margin; left: 8px; }}
+QScrollBar:vertical {{ background: {t['window_bg']}; width: 10px; }}
+QScrollBar::handle:vertical {{ background: {t['grid']};
+    border-radius: 5px; min-height: 24px; }}
+QStatusBar {{ background: {t['window_bg']}; color: {t['text']}; }}
+QListWidget {{ background: {t['window_bg']}; color: {t['text']};
+    border: 1px solid {t['border']}; }}
+QListWidget::item:selected {{ background: {t['accent']}; color: white; }}
+"""
 
 
 class GuiConfig:

@@ -127,6 +127,12 @@ class CustomDockWidget(QtWidgets.QDockWidget):
         self._panel_name = panel_name
         if panels is not None and panel_name is not None:
             self.setVisible(panels.is_visible(panel_name))
+            self.setFloating(panels.is_floating(panel_name))
+
+    def setFloating(self, floating):  # noqa: N802 - Qt casing
+        super().setFloating(floating)
+        if self._panels is not None and self._panel_name is not None:
+            self._panels.set_floating(self._panel_name, floating)
 
     def closeEvent(self, event):
         if self._panels is not None and self._panel_name is not None:

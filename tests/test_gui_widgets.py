@@ -406,3 +406,92 @@ def test_main_window_open_file_roundtrip(win, tmp_path):
     win.file_service.save(path)
     win.open_file(path)
     assert path in win.config.recent_files
+
+
+# ---------------------------------------------------------------------------
+# round-5 GUI depth: settings dialog, terminal history/completion/snippets,
+# dock floating persistence, QSS themes
+# ---------------------------------------------------------------------------
+class TestGuiDepthRound5:
+    def test_settings_dialog_applies_config(self, win):
+        from optiland_tpu_gui.widgets import SettingsDialog
+
+        dlg = SettingsDialog(win)
+        dlg.theme.setCurrentText("midnight")
+        dlg.num_rays.setValue(48)
+        dlg.autosave.setChecked(True)
+        dlg._apply()
+        assert dlg.result() == QtWidgets.QDialog.Accepted
+        assert win.config.theme == "midnight"
+        assert win.config.get("viewer.num_rays") == 48
+        assert win.config.get("autosave") is True
+
+    def test_settings_action_registered(self, win):
+        assert "app.settings" in win.actions.names()
+        dlg = win.open_settings()
+        assert dlg is not None
+
+    def test_terminal_widget_history_and_completion(self, win):
+        from PySide6.QtCore import QKeyEvent, Qt
+
+        from optiland_tpu_gui.terminal import make_terminal_widget
+
+        w = make_terminal_widget(win.terminal)
+        w.input.setText("alpha = 1")
+        w.input.returnPressed.emit()
+        w.input.setText("beta = 2")
+        w.input.returnPressed.emit()
+        # Up twice recalls older history
+        w.key_filter.eventFilter(w.input, QKeyEvent(Qt.Key_Up))
+        assert w.input.text() == "beta = 2"
+        w.key_filter.eventFilter(w.input, QKeyEvent(Qt.Key_Up))
+        assert w.input.text() == "alpha = 1"
+        w.key_filter.eventFilter(w.input, QKeyEvent(Qt.Key_Down))
+        assert w.input.text() == "beta = 2"
+        # tab completion on a unique prefix completes in place
+        w.input.setText("alp")
+        w.key_filter.eventFilter(w.input, QKeyEvent(Qt.Key_Tab))
+        assert w.input.text() == "alpha"
+
+    def test_terminal_snippets_combo(self, win):
+        from optiland_tpu_gui.terminal import SNIPPETS, make_terminal_widget
+
+        w = make_terminal_widget(win.terminal)
+        combo = None
+        for child in w.layout().widgets():
+            if isinstance(child, QtWidgets.QComboBox):
+                combo = child
+        assert combo is not None and combo.count() == len(SNIPPETS) + 1
+        combo.setCurrentIndex(1)
+        assert w.input.text() == SNIPPETS[combo.itemText(1)]
+
+    def test_terminal_run_script(self, win, tmp_path):
+        path = tmp_path / "script.py"
+        path.write_text("print('from-script', 2 + 3)")
+        out = win.terminal.run_script(str(path))
+        assert "from-script 5" in out
+
+    def test_dock_floating_persists(self, win):
+        from optiland_tpu_gui.widgets import CustomDockWidget
+
+        dock = CustomDockWidget("Console", QtWidgets.QWidget(),
+                                panels=win.panels, panel_name="console")
+        dock.setFloating(True)
+        assert win.panels.is_floating("console")
+        layout = win.config.get("layout")
+        assert layout["console"]["floating"] is True
+        # a new dock built from the same panels restores the flag
+        dock2 = CustomDockWidget("Console", QtWidgets.QWidget(),
+                                 panels=win.panels, panel_name="console")
+        assert dock2.isFloating()
+
+    def test_stylesheet_covers_all_themes(self):
+        from optiland_tpu_gui.settings import THEMES, stylesheet
+
+        assert set(THEMES) >= {"light", "dark", "midnight",
+                               "solarized_light", "solarized_dark"}
+        for name in THEMES:
+            qss = stylesheet(name)
+            for cls in ("QMainWindow", "QPushButton", "QTableView",
+                        "QTabBar", "QScrollBar", "QMenu"):
+                assert cls in qss, (name, cls)
