@@ -91,7 +91,12 @@ def main():
         # NOTE: ray coordinates are explicit arguments, not jit-captured
         # constants — captured device constants are re-uploaded per call on
         # the tunneled platform (measured ~1.5 ms/call flat).
-        return centroid_rms_spot(static, params, Hx, Hy, Px, Py, w)
+        # diff_inputs=False: the bench differentiates w.r.t. the system
+        # parameters only, so the per-ray (Hx, Hy, Px, Py, w) cotangents
+        # are explicitly opted out — the backward kernel skips their
+        # adjoint math and HBM writes (params-only production loop).
+        return centroid_rms_spot(static, params, Hx, Hy, Px, Py, w,
+                                 diff_inputs=False)
 
     # --- timing methodology -------------------------------------------
     # The tunneled runtime (a) coalesces repeated identical dispatches and

@@ -16,16 +16,22 @@ from optiland_tpu.trace.fused import spot_moments
 
 
 def centroid_rms_spot(static, params, Hx, Hy, Px, Py, wavelength,
-                      eps: float = 1e-6, interpret: bool = False):
+                      eps: float = 1e-6, interpret: bool = False,
+                      diff_inputs: bool = True):
     """Intensity-weighted RMS spot size (squared) about the weighted
     centroid at the image surface:
 
         loss = sum(((x-cx)^2 + (y-cy)^2) * i) / (sum(i) + eps)
 
-    Differentiable w.r.t. `params` (and the field/pupil/wavelength inputs);
-    single fused kernel launch on TPU for the supported system class."""
+    Differentiable w.r.t. `params` (and, by default, the field/pupil/
+    wavelength inputs); single fused kernel launch on TPU for the
+    supported system class. `diff_inputs=False` EXPLICITLY declares the
+    per-ray input cotangents unwanted, letting the backward kernel skip
+    their adjoint math and HBM writes — the params-only optimization
+    loop's fast path (their gradients then come back as zeros)."""
     m0, m1, m2, m3 = spot_moments(static, params, Hx, Hy, Px, Py,
-                                  wavelength, interpret=interpret)
+                                  wavelength, interpret=interpret,
+                                  diff_data=diff_inputs)
     ws = m0 + eps
     cx = m1 / ws
     cy = m2 / ws

@@ -1408,15 +1408,19 @@ def _row_mask(static_n, gidx, tr, j, dtype, sub=None):
     return (idx < static_n).astype(dtype)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def fused_spot_moments(static: SystemStatic, interpret: bool, uniform_w: bool,
-                       params, data):
+                       diff_data: bool, params, data):
     """(m0, m1, m2, m3) weighted spot moments at the image surface,
     computed by one kernel launch with in-kernel raygen + reduction.
 
     Caller contract: `supports_fused(static) and
     supports_fused_raygen(static)`. params/data as in
-    `fused_raygen_trace_final`."""
+    `fused_raygen_trace_final`. `diff_data=False` declares the per-ray
+    (Hx, Hy, Px, Py, w) cotangents unwanted — the backward kernel then
+    skips their adjoint computation and HBM writes and returns zeros for
+    them (an EXPLICIT opt-out, never silent: params-only optimization
+    loops are the use case)."""
     m = _moments_forward(static, interpret, uniform_w, params, data)
     return tuple(jnp.sum(b) for b in m)
 
@@ -1494,12 +1498,12 @@ def _moments_forward(static, interpret, uniform_w, params, data):
     return outs
 
 
-def _moments_fwd(static, interpret, uniform_w, params, data):
+def _moments_fwd(static, interpret, uniform_w, diff_data, params, data):
     m = _moments_forward(static, interpret, uniform_w, params, data)
     return tuple(jnp.sum(b) for b in m), (params, data)
 
 
-def _moments_bwd(static, interpret, uniform_w, res, g):
+def _moments_bwd(static, interpret, uniform_w, diff_data, res, g):
     from jax.experimental import pallas as pl
 
     params, data = res
@@ -1543,13 +1547,19 @@ def _moments_bwd(static, interpret, uniform_w, res, g):
                 return jnp.sum(im * (cv_[0] + cv_[1] * x + cv_[2] * y
                                      + cv_[3] * (x * x + y * y)))
 
-            grads = jax.grad(f, argnums=tuple(range(6 + n_diff)))(
+            if diff_data:
+                argnums = tuple(range(6 + n_diff))
+            else:
+                # params-only: drop the Hx/Hy/Px/Py/w adjoints entirely
+                argnums = (0,) + tuple(range(6, 6 + n_diff))
+            grads = jax.grad(f, argnums=argnums)(
                 rg_v, *(r[sl, :] for r in data_r[:4]), data_r[4][sl, :],
                 *diff_vals)
-            d_data_tile = grads[1:6]
-            for o, v in zip(data_outs, d_data_tile):
-                o[sl, :] = v
-            grads = grads[:1] + grads[6:]
+            if diff_data:
+                d_data_tile = grads[1:6]
+                for o, v in zip(data_outs, d_data_tile):
+                    o[sl, :] = v
+                grads = grads[:1] + grads[6:]
             if acc is None:
                 acc = list(grads)
             else:
@@ -1570,6 +1580,7 @@ def _moments_bwd(static, interpret, uniform_w, res, g):
     ins += [jnp.asarray(p) for p in diffp]
     ins += [jnp.asarray(p) for p in nondiffp]
 
+    n_data_out = 5 if diff_data else 0
     ray_spec = pl.BlockSpec((_TR_BWD, _LANE), lambda gq: (gq, jnp.int32(0)),
                             memory_space=_vmem())
     in_specs = ([ray_spec] * 5 + [_full_spec(np.shape(rg)),
@@ -1580,10 +1591,10 @@ def _moments_bwd(static, interpret, uniform_w, res, g):
                  + [jax.ShapeDtypeStruct(np.shape(p), Hx.dtype)
                     for p in diffp]
                  + [jax.ShapeDtypeStruct((rows_pad, _LANE), Hx.dtype)
-                    for _ in range(5)])
+                    for _ in range(n_data_out)])
     out_specs = ([_full_spec(np.shape(rg))]
                  + [_full_spec(np.shape(p)) for p in diffp]
-                 + [ray_spec] * 5)
+                 + [ray_spec] * n_data_out)
 
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1601,7 +1612,10 @@ def _moments_bwd(static, interpret, uniform_w, res, g):
     d_rg = outs[0]
     d_diff = tuple(outs[1:1 + len(diffp)])
     d_nondiff = tuple(jnp.zeros_like(jnp.asarray(p)) for p in nondiffp)
-    d_data = tuple(o.reshape(-1)[:n] for o in outs[1 + len(diffp):])
+    if diff_data:
+        d_data = tuple(o.reshape(-1)[:n] for o in outs[1 + len(diffp):])
+    else:
+        d_data = tuple(jnp.zeros_like(jnp.asarray(a)) for a in data)
     return (d_diff, d_nondiff, d_rg), d_data
 
 
@@ -1609,7 +1623,8 @@ fused_spot_moments.defvjp(_moments_fwd, _moments_bwd)
 
 
 def spot_moments(static: SystemStatic, params: SystemParams,
-                 Hx, Hy, Px, Py, wavelength, interpret: bool = False):
+                 Hx, Hy, Px, Py, wavelength, interpret: bool = False,
+                 diff_data: bool = True):
     """Weighted spot moments (m0, m1, m2, m3) = (sum i, sum x i, sum y i,
     sum (x^2+y^2) i) at the image surface, differentiable w.r.t. params and
     the field/pupil/wavelength inputs. Fused single-launch kernel when the
@@ -1633,8 +1648,8 @@ def spot_moments(static: SystemStatic, params: SystemParams,
         rg = _raygen_scalars(static, params)
         p = (_diff_params(params, n_table),
              _nondiff_params(params, alpha_table), rg)
-        return fused_spot_moments(static, interpret, uniform_w, p,
-                                  (Hxb, Hyb, Px, Py, wb))
+        return fused_spot_moments(static, interpret, uniform_w, diff_data,
+                                  p, (Hxb, Hyb, Px, Py, wb))
     from optiland_tpu.trace.raygen import generate_rays
     from optiland_tpu.trace.tracer import trace_rays
 

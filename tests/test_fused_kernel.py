@@ -590,3 +590,48 @@ def test_fused_spot_moments_parity():
     a, b = np.asarray(ghf), np.asarray(ghx)
     scale = max(np.abs(b).max(), 1e-9)
     np.testing.assert_allclose(a / scale, b / scale, atol=1e-6)
+
+
+def test_spot_moments_diff_inputs_opt_out():
+    """diff_inputs=False must keep parameter gradients bit-identical to the
+    default path while returning zero input cotangents (an explicit,
+    documented opt-out — ADVICE r3 requires data cotangents never be
+    silently zero)."""
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    import numpy as np
+
+    from optiland_tpu.optimization.merits import centroid_rms_spot
+
+    from bench import build_bench_system
+
+    static, params = build_bench_system().build()
+    N = 256
+    rng = np.random.default_rng(0)
+    Px = jnp.asarray(rng.uniform(-1, 1, N).astype(np.float32))
+    Py = jnp.asarray(rng.uniform(-1, 1, N).astype(np.float32))
+    Hy = jnp.asarray(rng.uniform(-1, 1, N).astype(np.float32))
+    Hx = jnp.zeros_like(Hy)
+    w = 0.5876
+
+    v1, g1 = jax.value_and_grad(
+        lambda p: centroid_rms_spot(static, p, Hx, Hy, Px, Py, w,
+                                    interpret=True))(params)
+    v2, g2 = jax.value_and_grad(
+        lambda p: centroid_rms_spot(static, p, Hx, Hy, Px, Py, w,
+                                    interpret=True,
+                                    diff_inputs=False))(params)
+    assert float(v1) == float(v2)
+    for a, b in zip(jtu.tree_leaves(g1), jtu.tree_leaves(g2)):
+        if a.size:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    gHy_on = jax.grad(
+        lambda h: centroid_rms_spot(static, params, Hx, h, Px, Py, w,
+                                    interpret=True))(Hy)
+    gHy_off = jax.grad(
+        lambda h: centroid_rms_spot(static, params, Hx, h, Px, Py, w,
+                                    interpret=True,
+                                    diff_inputs=False))(Hy)
+    assert float(jnp.max(jnp.abs(gHy_on))) > 0
+    np.testing.assert_array_equal(np.asarray(gHy_off), 0.0)
