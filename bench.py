@@ -124,23 +124,28 @@ def main():
     # REPS: the chip is multi-tenant; per-call interference inflates any
     # single timing by 10-30%, so min-of-REPS estimates true device time.
     # Tenant-drift windows last minutes; more reps = more chances for the
-    # min to sample a quiet window (PERF.md "Measurement reality").
-    K1, K2, REPS = 2, 12, 24
+    # min to sample a quiet window, and the two unroll depths are timed
+    # INTERLEAVED so their minima sample the same windows (a sequential
+    # min(t1) from a quiet window against a min(t2) from a noisy one
+    # inflates the slope — PERF.md "Measurement reality" + the round-5
+    # sweep harness).
+    K1, K2, REPS = 2, 6, 30
 
-    def timed(f):
-        out = np.asarray(f(params, Hx, Hy, Px, Py))  # compile + warmup
+    f1 = make_unrolled(K1)
+    f2 = make_unrolled(K2)
+    for f in (f1, f2):  # compile + warmup
+        out = np.asarray(f(params, Hx, Hy, Px, Py))
         assert np.isfinite(out)
-        best = np.inf
-        for i in range(REPS):
-            p2 = jax.tree_util.tree_map(
-                lambda a: a * (1.0 + 1e-12 * (i + 1)), params)
-            t0 = time.perf_counter()
-            np.asarray(f(p2, Hx, Hy, Px, Py))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1 = timed(make_unrolled(K1))
-    t2 = timed(make_unrolled(K2))
+    t1 = t2 = np.inf
+    for i in range(REPS):
+        p2 = jax.tree_util.tree_map(
+            lambda a: a * (1.0 + 1e-12 * (i + 1)), params)
+        t0 = time.perf_counter()
+        np.asarray(f1(p2, Hx, Hy, Px, Py))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(f2(p2, Hx, Hy, Px, Py))
+        t2 = min(t2, time.perf_counter() - t0)
     dt = (t2 - t1) / (K2 - K1)
 
     rays_per_s = N / dt
