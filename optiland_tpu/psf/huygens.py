@@ -154,18 +154,22 @@ def huygens_sum_pallas(image_xyz, pupil_xyz, pupil_amp, pupil_opd,
     ni = img.shape[1] // tile_i
     nj = pup.shape[1] // tile_p
 
+    # NOTE: index maps return explicit jnp.int32 — under jax_enable_x64
+    # Pallas's Python-int zeros trace as i64 and Mosaic cannot legalize the
+    # resulting `func.return (i64)` (same fix as trace/fused.py:_full_spec)
     out = pl.pallas_call(
         _huygens_kernel,
         grid=(ni, nj),
         in_specs=[
-            pl.BlockSpec((3, tile_i), lambda i, j: (0, i),
+            pl.BlockSpec((3, tile_i), lambda i, j: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, tile_p), lambda i, j: (0, j),
+            pl.BlockSpec((5, tile_p), lambda i, j: (jnp.int32(0), j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 2),
+                         lambda i, j: (jnp.int32(0), jnp.int32(0)),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((2, tile_i), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((2, tile_i), lambda i, j: (jnp.int32(0), i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, img.shape[1]), dtype),
         interpret=interpret,
