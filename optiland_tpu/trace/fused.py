@@ -549,7 +549,9 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
             if interaction in (INT_THIN_LENS, INT_DIFFRACT, INT_PHASE):
                 n_post = n_of(k)
                 if interaction == INT_THIN_LENS:
-                    # ideal thin lens (tracer `_thin_lens_interact`)
+                    # ideal thin lens (tracer `_thin_lens_interact`), incl.
+                    # the quadratic phase transformation of the OPD
+                    # (reference `thin_lens_interaction_model.py:71`)
                     ux = L / N
                     uy = M / N
                     ux2 = (n_pre * ux - x / focal_length[k]) / n_post
@@ -557,6 +559,7 @@ def _tile_trace(static: SystemStatic, uniform_w, diffp, nondiffp,
                     N = jax.lax.rsqrt(1.0 + ux2 * ux2 + uy2 * uy2)
                     L = ux2 * N
                     M = uy2 * N
+                    opd = opd - (x * x + y * y) / (2.0 * focal_length[k])
                 elif interaction == INT_DIFFRACT:
                     L, M, N, i = _tile_diffract(
                         static, k, grating, L, M, N, i, w,

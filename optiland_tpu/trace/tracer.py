@@ -83,14 +83,18 @@ def _thin_lens_interact(rays: Rays, f, n1, n2) -> Rays:
     """Ideal thin-lens bending for real rays (reference
     `interactions/thin_lens_interaction_model.py:24`): ray height is
     preserved, image-side slope satisfies the ideal lens equation in the
-    paraxial tangent space applied to the real direction components."""
+    paraxial tangent space applied to the real direction components, and
+    the lens's quadratic phase transformation is applied to the OPD
+    (`thin_lens_interaction_model.py:71`) so a perfect lens images with
+    zero wavefront error."""
     # tangent-space slopes
     ux = rays.L / rays.N
     uy = rays.M / rays.N
     ux2 = (n1 * ux - rays.x / f) / n2
     uy2 = (n1 * uy - rays.y / f) / n2
     N2 = 1.0 / jnp.sqrt(1.0 + ux2**2 + uy2**2)
-    return rays.replace(L=ux2 * N2, M=uy2 * N2, N=N2)
+    opd = rays.opd - (rays.x**2 + rays.y**2) / (2.0 * f)
+    return rays.replace(L=ux2 * N2, M=uy2 * N2, N=N2, opd=opd)
 
 
 def _grating_interact(static, params, k, rays: Rays, n1, n2) -> Rays:

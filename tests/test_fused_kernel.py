@@ -602,11 +602,17 @@ def test_spot_moments_diff_inputs_opt_out():
     import jax.tree_util as jtu
     import numpy as np
 
+    from optiland_tpu import set_precision
     from optiland_tpu.optimization.merits import centroid_rms_spot
 
     from bench import build_bench_system
 
-    static, params = build_bench_system().build()
+    # build_bench_system flips the global precision to float32; restore it
+    # for the rest of the suite (test-order isolation)
+    try:
+        static, params = build_bench_system().build()
+    finally:
+        set_precision("float64")
     N = 256
     rng = np.random.default_rng(0)
     Px = jnp.asarray(rng.uniform(-1, 1, N).astype(np.float32))
