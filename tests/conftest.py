@@ -29,8 +29,13 @@ jax.config.update("jax_platforms", "cpu")
 # recompilation of the same jitted closures across test processes
 # (VERDICT r2 weak #7 / item 10). Compiles >0.5 s are cached on disk and
 # hit on re-runs and across split CI shards.
-os.makedirs("/tmp/jax_test_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# one cache dir per (user, jax version): concurrent suites from different
+# working trees share safely, and a corrupted entry (observed: segfault in
+# zstd deserialization during get_executable_and_time after parallel
+# writer crashes) can be cleared by deleting the directory
+_cache_dir = f"/tmp/jax_test_cache_{jax.__version__}"
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

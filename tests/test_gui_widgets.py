@@ -10,7 +10,6 @@ analysis, add an operand and run an optimization, switch panels, drive
 the command palette, type into the python terminal, toast lifecycle,
 and the full MainWindow.show() composition."""
 
-import numpy as np
 import pytest
 
 from optiland_tpu_gui import qt_shim

@@ -7,7 +7,6 @@ the full union/intersection/difference aperture algebra (reference
 import math
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

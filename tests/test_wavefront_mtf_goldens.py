@@ -5,10 +5,8 @@ the textbook W020 coefficient; the diffraction-limited incoherent MTF is
 the autocorrelation chat function with cutoff 1/(lambda FNO) — plus
 defocus-vs-reference parity."""
 
-import math
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 
