@@ -138,6 +138,7 @@ class MainWindow:
             LensEditor,
             OptimizationPanel,
             SagViewerPanel,
+            ScriptEditor,
             Sidebar,
             SystemPropertiesPanel,
             ToastOverlay,
@@ -160,6 +161,8 @@ class MainWindow:
             "viewer": ("Viewer", "2D", ViewerPanel(self.viewer_service)),
             "sag_viewer": ("Sag", "SAG", SagViewerPanel(self.viewer_service)),
             "console": ("Console", ">_", make_terminal_widget(self.terminal)),
+            "script_editor": ("Scripts", "PY",
+                              ScriptEditor(self.terminal)),
         }
         # sidebar + central stack for the primary panels, docks for the rest
         sidebar = Sidebar()

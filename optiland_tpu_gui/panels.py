@@ -14,6 +14,7 @@ DEFAULT_PANELS = (
     "viewer",
     "sag_viewer",
     "console",
+    "script_editor",
 )
 
 

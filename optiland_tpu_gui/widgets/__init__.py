@@ -14,6 +14,8 @@ from optiland_tpu_gui.widgets.frameless_window import (
 )
 from optiland_tpu_gui.widgets.lens_editor import LensEditor, LensTableModel
 from optiland_tpu_gui.widgets.optimization_panel import OptimizationPanel
+from optiland_tpu_gui.widgets.script_editor import (PythonHighlightRules,
+                                                    ScriptEditor)
 from optiland_tpu_gui.widgets.settings_dialog import SettingsDialog
 from optiland_tpu_gui.widgets.sidebar import Sidebar
 from optiland_tpu_gui.widgets.system_properties_panel import (
@@ -23,6 +25,8 @@ from optiland_tpu_gui.widgets.toast import ToastOverlay
 from optiland_tpu_gui.widgets.viewer_panel import SagViewerPanel, ViewerPanel
 
 __all__ = [
+    "PythonHighlightRules",
+    "ScriptEditor",
     "SettingsDialog",
     "AnalysisPanel",
     "CommandPaletteDialog",

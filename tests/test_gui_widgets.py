@@ -494,3 +494,65 @@ class TestGuiDepthRound5:
             for cls in ("QMainWindow", "QPushButton", "QTableView",
                         "QTabBar", "QScrollBar", "QMenu"):
                 assert cls in qss, (name, cls)
+
+
+class TestScriptEditor:
+    def test_tabs_and_run(self, win, tmp_path):
+        from optiland_tpu_gui.widgets import ScriptEditor
+
+        ed = ScriptEditor(win.terminal)
+        assert ed.tabs.count() == 1
+        ed.current_editor().setPlainText("print('ran', 6 * 7)")
+        out = ed.run()
+        assert "ran 42" in out
+        assert "ran 42" in ed.output.toPlainText()
+
+    def test_script_shares_console_namespace(self, win):
+        from optiland_tpu_gui.widgets import ScriptEditor
+
+        ed = ScriptEditor(win.terminal)
+        ed.current_editor().setPlainText("shared_var = 123")
+        ed.run()
+        out, _ = win.terminal.execute("print(shared_var)")
+        assert "123" in out
+
+    def test_save_open_roundtrip(self, win, tmp_path):
+        from optiland_tpu_gui.widgets import ScriptEditor
+
+        ed = ScriptEditor(win.terminal)
+        ed.current_editor().setPlainText("x = 1\n")
+        path = str(tmp_path / "s.py")
+        ed.save_path(path)
+        ed2 = ScriptEditor(win.terminal)
+        editor = ed2.open_path(path)
+        assert editor.toPlainText() == "x = 1\n"
+        assert ed2.tabs.count() == 2  # untitled + opened
+
+    def test_snippet_insertion(self, win):
+        from optiland_tpu_gui.terminal import SNIPPETS
+        from optiland_tpu_gui.widgets import ScriptEditor
+
+        ed = ScriptEditor(win.terminal)
+        ed.snippets.setCurrentIndex(1)
+        name = ed.snippets.itemText(1) if False else list(SNIPPETS)[0]
+        assert SNIPPETS[name] in ed.current_editor().toPlainText()
+
+    def test_highlight_rules(self):
+        from optiland_tpu_gui.widgets import PythonHighlightRules
+
+        h = PythonHighlightRules()
+        spans = h.spans("def f(x):  # make 3.5 'things'")
+        kinds = {k for k, *_ in spans}
+        assert "keyword" in kinds and "comment" in kinds
+        # the comment masks the number and string inside it
+        comment = [s for s in spans if s[0] == "comment"][0]
+        for k, s, e, _c in spans:
+            if k != "comment":
+                assert not (comment[1] <= s < comment[2])
+
+    def test_highlight_string_and_number(self):
+        from optiland_tpu_gui.widgets import PythonHighlightRules
+
+        spans = PythonHighlightRules().spans("a = 'txt' + 42.5e-1")
+        kinds = [k for k, *_ in spans]
+        assert "string" in kinds and "number" in kinds

@@ -22,13 +22,15 @@ import numpy as np  # noqa: E402
 # keep the sweep small: compiling each config's chained-step function over
 # the tunnel costs minutes; sweep in stages (stage 2 refines around the
 # stage-1 winner by editing this list)
+# stage 2 (forward tiles): stage 1 settled the backward at TRB=64/SUBB=32
+# (base best at 520 M rays/s min-of-30; TRB=128 worst — PERF.md round 5)
 CONFIGS = [
     # label, overrides on optiland_tpu.trace.fused
-    ("base  TRB=64 SUBB=32", {}),
-    ("TRB=64  SUBB=16", {"_SUB_BWD": 16}),
-    ("TRB=128 SUBB=32", {"_TR_BWD": 128}),
-    ("TRB=128 SUBB=16", {"_TR_BWD": 128, "_SUB_BWD": 16}),
-    ("TRB=32  SUBB=32", {"_TR_BWD": 32}),
+    ("base  TRF=128 SUB=32", {}),
+    ("TRF=256 SUB=32", {"_TR_FWD": 256}),
+    ("TRF=64  SUB=32", {"_TR_FWD": 64}),
+    ("TRF=128 SUB=16", {"_SUB": 16}),
+    ("TRF=128 SUB=64", {"_SUB": 64}),
 ]
 
 
