@@ -518,8 +518,18 @@ class Optic:
             old_idx = n - 2 - j
             if math.isfinite(s.radius):
                 s.radius = -s.radius
-            if s.geometry == "biconic" and "radius_y" in s.geom_params:
+            # per-geometry flip semantics (reference `geometries/*.flip`):
+            # all curvature-like radii negate; conics and polynomial
+            # coefficients stay (reference `newton_raphson.py:66-72`)
+            if (s.geometry in ("biconic", "toroidal")
+                    and "radius_y" in s.geom_params
+                    and math.isfinite(s.geom_params["radius_y"])):
                 s.geom_params["radius_y"] = -s.geom_params["radius_y"]
+            if s.geometry == "grid_sag" and "sag_values" in s.geom_params:
+                import numpy as _np
+
+                s.geom_params["sag_values"] = -_np.asarray(
+                    s.geom_params["sag_values"], float)
             s.material = (old_mats[old_idx - 1]
                           if not s.material.mirror else s.material)
             # internal gaps reverse; the gap to the image plane stays

@@ -195,3 +195,84 @@ def test_shgo_optimizer():
     SHGO(prob).optimize(n=32)
     after = float(prob.sum_squared())
     assert after < before
+
+
+# ---------------------------------------------------------------------------
+# round-5: per-geometry flip semantics (reference tests/test_flip_geometries)
+# ---------------------------------------------------------------------------
+def _flip_lens(**surf1):
+    import math
+
+    from optiland_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, radius=math.inf, thickness=math.inf)
+    lens.add_surface(index=1, thickness=5.0, material=1.5, is_stop=True,
+                     **surf1)
+    lens.add_surface(index=2, radius=-40.0, thickness=50.0)
+    lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=8.0)
+    lens.set_field_type("angle")
+    lens.add_field(y=0.0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+def test_flip_negates_radius_keeps_conic_and_coeffs():
+    """Reference `newton_raphson.py:66-72`: flip negates the radius; conic
+    and polynomial coefficients are unchanged."""
+    lens = _flip_lens(radius=30.0, conic=-0.5,
+                      surface_type="even_asphere",
+                      coefficients=(1e-4, -2e-6))
+    lens.flip()
+    # the asphere is now the LAST inner surface (order reversed)
+    s = lens.surfaces.specs[2]
+    assert s.radius == -30.0
+    assert s.conic == -0.5
+    assert s.coefficients == (1e-4, -2e-6)
+
+
+def test_flip_toroidal_negates_rotation_radius():
+    lens = _flip_lens(radius=100.0, surface_type="toroidal",
+                      radius_y=40.0, coeffs_poly_y=(1e-5,))
+    lens.flip()
+    s = lens.surfaces.specs[2]
+    assert s.radius == -100.0
+    assert s.geom_params["radius_y"] == -40.0
+    # polynomial coefficients unchanged (reference toroidal flip)
+    assert tuple(s.geom_params["coeffs_poly_y"]) == (1e-5,)
+
+
+def test_flip_biconic_negates_both_radii():
+    lens = _flip_lens(radius=60.0, surface_type="biconic",
+                      radius_y=-90.0, conic_y=0.2)
+    lens.flip()
+    s = lens.surfaces.specs[2]
+    assert s.radius == -60.0
+    assert s.geom_params["radius_y"] == 90.0
+
+
+def test_flip_grid_sag_negates_table():
+    import numpy as np
+
+    xg = np.linspace(-3, 3, 7)
+    Z = 1e-3 * np.add.outer(xg**2, xg**2)
+    lens = _flip_lens(radius=np.inf, surface_type="grid_sag",
+                      x_coordinates=xg, y_coordinates=xg, sag_values=Z)
+    lens.flip()
+    s = lens.surfaces.specs[2]
+    np.testing.assert_allclose(np.asarray(s.geom_params["sag_values"]), -Z)
+
+
+def test_double_flip_is_identity():
+    import numpy as np
+
+    lens = _flip_lens(radius=30.0, conic=-0.5,
+                      surface_type="even_asphere",
+                      coefficients=(1e-4, -2e-6))
+    h0 = lens.trace(Hx=0.0, Hy=0.0, num_rays=8)
+    y0 = np.asarray(h0.y[-1])
+    lens.flip()
+    lens.flip()
+    h1 = lens.trace(Hx=0.0, Hy=0.0, num_rays=8)
+    np.testing.assert_allclose(np.asarray(h1.y[-1]), y0, atol=1e-12)
