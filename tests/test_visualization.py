@@ -203,10 +203,16 @@ class TestViewer3DScene:
     def test_vtk_backend_raises_cleanly_without_vtk(self, lens):
         import sys
 
-        if "vtk" in sys.modules:
-            del sys.modules["vtk"]
-        with pytest.raises(ImportError):
-            OpticViewer3D(lens).render_vtk()
+        # the conftest installs a MagicMock vtk for the reference's sake;
+        # hide it for this assertion and RESTORE it (other tests in this
+        # process import the reference's visualization, which needs it)
+        saved = sys.modules.pop("vtk", None)
+        try:
+            with pytest.raises(ImportError):
+                OpticViewer3D(lens).render_vtk()
+        finally:
+            if saved is not None:
+                sys.modules["vtk"] = saved
 
     def test_fold_mirror_scene_is_folded(self, reference):
         """A 45-degree fold mirror must place downstream geometry off the
