@@ -22,14 +22,13 @@ import numpy as np  # noqa: E402
 # keep the sweep small: compiling each config's chained-step function over
 # the tunnel costs minutes; sweep in stages (stage 2 refines around the
 # stage-1 winner by editing this list)
-# stage 2 (forward tiles): stage 1 settled the backward at TRB=64/SUBB=32
-# (base best at 520 M rays/s min-of-30; TRB=128 worst — PERF.md round 5)
+# stage 3 (confirmation): stage 2 measured TRF=256 (+1.9%) and SUB=64
+# (+2.1%) each beating base; confirm the combination before adopting
 CONFIGS = [
     # label, overrides on optiland_tpu.trace.fused
     ("base  TRF=128 SUB=32", {}),
+    ("TRF=256 SUB=64", {"_TR_FWD": 256, "_SUB": 64}),
     ("TRF=256 SUB=32", {"_TR_FWD": 256}),
-    ("TRF=64  SUB=32", {"_TR_FWD": 64}),
-    ("TRF=128 SUB=16", {"_SUB": 16}),
     ("TRF=128 SUB=64", {"_SUB": 64}),
 ]
 
