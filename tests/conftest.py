@@ -25,19 +25,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: most of the suite's ~30 min was XLA
-# recompilation of the same jitted closures across test processes
-# (VERDICT r2 weak #7 / item 10). Compiles >0.5 s are cached on disk and
-# hit on re-runs and across split CI shards.
-# one cache dir per (user, jax version): concurrent suites from different
-# working trees share safely, and a corrupted entry (observed: segfault in
-# zstd deserialization during get_executable_and_time after parallel
-# writer crashes) can be cleared by deleting the directory
-_cache_dir = f"/tmp/jax_test_cache_{jax.__version__}"
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# Persistent compilation cache: OPT-IN via OPTILAND_TPU_TEST_CACHE=1.
+# It cuts suite re-runs from ~35 to ~10 min, but this image's
+# jax/zstandard combination segfaults intermittently INSIDE the cache's
+# compressed read/write paths (observed crashes in both
+# get_executable_and_time and put_executable_and_time across three
+# independent runs, single- and multi-process). Reliability wins by
+# default; opt in for local iteration and wipe /tmp/jax_test_cache_* if
+# a run ever dies in zstandard.
+if os.environ.get("OPTILAND_TPU_TEST_CACHE") == "1":
+    _cache_dir = (f"/tmp/jax_test_cache_{jax.__version__}_"
+                  f"{os.environ.get('PYTEST_XDIST_WORKER', 'main')}")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import pytest  # noqa: E402
 
